@@ -1,0 +1,131 @@
+"""URL canonicalization, resolution, classification and keying — all
+native column expressions (whole-stage codegen; zero Python per row).
+
+Reference semantics being reproduced:
+  * canonical form  — urlparse components cached on the Task
+    (/root/reference/src/Task.py:68-75) and the extractor's rebuild
+    "scheme://netloc/path?query" that drops fragment and params
+    (/root/reference/src/extractors/ExtractorFactory.py:50-66).
+  * relative-link resolution — lxml ``make_links_absolute`` in
+    /root/reference/src/extractors/ExtractorFactory.py:84-86; here a
+    native ``when`` chain over the child-URL shape.
+  * nature classification — ``Task.buildFromURI``
+    (/root/reference/src/Task.py:30-42): ``.onion`` host -> tor,
+    ``magnet:`` prefix -> torrent, else static.
+  * host-major keying — ``Phi = md5(netloc)*2^128 + md5(url)``
+    (/root/reference/src/Netarea.py:7-11).  The point of Phi's high bits
+    is that one host lands in one shard; ``xxhash64(host)`` gives Spark's
+    hash partitioner the same colocation without 256-bit arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# scheme per RFC 3986: ALPHA *( ALPHA / DIGIT / "+" / "-" / "." )
+_SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.\-]*):"
+
+
+def scheme_of(url: Column) -> Column:
+    """Lowercased scheme, or NULL if the URL has none (relative)."""
+    s = F.regexp_extract(url, _SCHEME_RE, 1)
+    return F.when(s != "", F.lower(s))
+
+
+def host_of(url: Column) -> Column:
+    """Lowercased netloc (host[:port]) or NULL. Native try_parse_url
+    (NULL on malformed input instead of ANSI error)."""
+    return F.lower(F.try_parse_url(url, F.lit("HOST")))
+
+
+def path_of(url: Column) -> Column:
+    """Path with ``;params`` and fragment dropped; '' -> '/'."""
+    p = F.try_parse_url(url, F.lit("PATH"))
+    p = F.regexp_replace(p, ";.*$", "")  # drop params (src/Task.py:72 unused downstream)
+    return F.when(p.isNull() | (p == ""), F.lit("/")).otherwise(p)
+
+
+def query_of(url: Column) -> Column:
+    return F.try_parse_url(url, F.lit("QUERY"))
+
+
+def canonicalize(url: Column) -> Column:
+    """Canonical crawl-equivalence key: ``scheme://host/path[?query]``.
+
+    NULL for URLs with no scheme or no host (the extractor's guard at
+    /root/reference/src/extractors/ExtractorFactory.py:56-60 fills these
+    from the parent; use :func:`resolve_url` first for outlinks).
+    Lowercases scheme+host, keeps path case, drops fragment and params,
+    normalizes empty path to '/'.
+    """
+    u = F.trim(url)
+    sch = scheme_of(u)
+    hst = host_of(u)
+    q = query_of(u)
+    rebuilt = F.concat(
+        sch,
+        F.lit("://"),
+        hst,
+        path_of(u),
+        F.when(q.isNotNull() & (q != ""), F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+    )
+    # inner whitespace is always invalid (java.net.URI would reject it;
+    # making the rule explicit keeps the pure-Python fixture model exact)
+    return F.when(
+        ~u.rlike(r"\s") & sch.isNotNull() & hst.isNotNull() & (hst != ""), rebuilt
+    )
+
+
+def resolve_url(parent: Column, child: Column) -> Column:
+    """Resolve a possibly-relative outlink against its page URL.
+
+    Handles: absolute (own scheme), protocol-relative (``//h/p``),
+    root-relative (``/p``), and sibling-relative (``p``) forms — the
+    shapes the synthetic web emits.  ``../`` segments are not collapsed
+    (the reference relies on lxml for that; flagged in SURVEY.md).
+    Returns the *un-canonicalized* absolute URL; feed to canonicalize().
+    """
+    c = F.trim(child)
+    p = F.trim(parent)
+    p_scheme = scheme_of(p)
+    p_host = host_of(p)
+    # parent directory: path up to and including the last '/'
+    p_dir = F.regexp_replace(path_of(p), "[^/]*$", "")
+    return (
+        F.when(c.isNull() | (c == ""), F.lit(None))
+        .when(c.rlike(_SCHEME_RE), c)
+        .when(c.startswith("//"), F.concat(p_scheme, F.lit(":"), c))
+        .when(c.startswith("/"), F.concat(p_scheme, F.lit("://"), p_host, c))
+        .otherwise(F.concat(p_scheme, F.lit("://"), p_host, p_dir, c))
+    )
+
+
+def classify_nature(url: Column) -> Column:
+    """TaskNature from the URL shape (/root/reference/src/Task.py:30-42)."""
+    return (
+        F.when(F.lower(url).startswith("magnet:"), F.lit("web_static_torrent"))
+        .when(host_of(url).endswith(".onion"), F.lit("web_static_tor"))
+        .when(F.lower(url).endswith("sitemap.xml"), F.lit("web_static_sitemap"))
+        .otherwise(F.lit("web_static"))
+    )
+
+
+def host_partition_key(host: Column, num_partitions: int) -> Column:
+    """Deterministic shard id for a host — the netarea analogue.
+
+    ``pmod(xxhash64(host), P)`` colocates all URLs of a host in one
+    partition exactly as Phi's md5(netloc) high bits do
+    (/root/reference/src/Netarea.py:7-11).
+    """
+    return F.pmod(F.xxhash64(host), F.lit(num_partitions)).cast("int")
+
+
+def salted_host(host: Column, url: Column, salt: int) -> Column:
+    """Skew-salted repartition key for the fetch wave (north_rule).
+
+    Hot hosts (the netarea-overload-split analogue,
+    /root/reference/src/network/Reports.py:86-91) get spread over
+    ``salt`` subpartitions while staying deterministic per URL.
+    """
+    return F.concat_ws("#", host, F.pmod(F.xxhash64(url), F.lit(salt)).cast("string"))

@@ -1,0 +1,117 @@
+"""Exact URL-seen dedup + crawl-state merge — the master validator.
+
+Reference semantics (``Validator.is_valid``,
+/root/reference/src/Master.py:284-314):
+  1. reject a candidate if it is in ``tasksMap`` AND recently controlled
+     (``is_alive``: now - lastcontrolled < refreshrate*delay,
+     /root/reference/src/Task.py:94-95);
+  2. otherwise merge crawl state from the stored task — lastvisited /
+     lasthash / refreshrate each kept if the candidate has a non-default
+     value else inherited (/root/reference/src/Master.py:296-310) — and
+     stamp lastcontrolled = now.
+
+Spark shape: candidates LEFT JOIN url_seen ON url; the reject predicate
+is a filter; the merge is per-column ``coalesce``.  Rows pre-flagged
+``maybe_seen = false`` by the bloom tier skip the join entirely (they
+cannot be in url_seen), cutting the shuffle to the maybe-seen slice.
+
+The reference's dedup is *lossy* (ARC eviction) while url_seen is exact
+— a deliberate semantic upgrade flagged in SURVEY.md §7: at reference
+test scale the ARC never evicts, so fixtures agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..rounds import ROUND_SECONDS
+from ..schemas import MAX_REFRESH_RATE
+
+
+def dedupe_within_batch(candidates: DataFrame) -> DataFrame:
+    """Collapse duplicate candidate URLs inside one round's batch.
+
+    Keeps min depth (BFS frontier semantics) and a deterministic nature;
+    the reference gets this for free because tasksMap upsert is
+    last-writer-wins within a shard — here it must be explicit since a
+    URL can arrive from many extractor partitions in one round.
+    """
+    return candidates.groupBy("url", "host").agg(
+        F.min("depth").alias("depth"),
+        F.min("nature").alias("nature"),
+        F.min("round_added").alias("round_added"),
+    )
+
+
+def split_by_bloom(candidates: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(definitely_new, maybe_seen) by the bloom pre-filter column."""
+    new = candidates.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    maybe = candidates.filter(F.col("maybe_seen")).drop("maybe_seen")
+    return new, maybe
+
+
+def validate_against_seen(
+    maybe_seen: DataFrame,
+    url_seen: DataFrame,
+    current_round: int,
+    revisit_delay_rounds: int,
+) -> DataFrame:
+    """Exact anti-join + state merge for the maybe-seen slice.
+
+    Returns schedulable rows with columns:
+    url, host, depth, nature, round_added, last_visited, last_hash,
+    refresh_rate, was_seen.
+    """
+    seen = url_seen.select(
+        F.col("url").alias("s_url"),
+        F.col("last_visited").alias("s_last_visited"),
+        F.col("last_controlled").alias("s_last_controlled"),
+        F.col("last_hash").alias("s_last_hash"),
+        F.col("refresh_rate").alias("s_refresh_rate"),
+    )
+    j = maybe_seen.join(seen, maybe_seen["url"] == seen["s_url"], "left")
+    # is_alive: now - last_controlled < refresh_rate * delay  (in rounds)
+    age_rounds = (
+        F.lit(current_round)
+        - (F.unix_timestamp("s_last_controlled") - F.unix_timestamp(F.lit("2026-01-01 00:00:00")))
+        / F.lit(ROUND_SECONDS)
+    ).cast("long")
+    alive = F.col("s_url").isNotNull() & (
+        age_rounds < F.col("s_refresh_rate").cast("long") * F.lit(revisit_delay_rounds)
+    )
+    return (
+        j.filter(~alive)
+        .select(
+            "url",
+            "host",
+            "depth",
+            "nature",
+            "round_added",
+            F.col("s_last_visited").alias("last_visited"),
+            F.coalesce(F.col("s_last_hash"), F.lit("")).alias("last_hash"),
+            F.coalesce(F.col("s_refresh_rate"), F.lit(1)).alias("refresh_rate"),
+            F.col("s_url").isNotNull().alias("was_seen"),
+        )
+    )
+
+
+def as_new(definitely_new: DataFrame) -> DataFrame:
+    """Give bloom-negative rows the same shape as validate_against_seen."""
+    return definitely_new.select(
+        "url",
+        "host",
+        "depth",
+        "nature",
+        "round_added",
+        F.lit(None).cast("timestamp").alias("last_visited"),
+        F.lit("").alias("last_hash"),
+        F.lit(1).alias("refresh_rate"),
+        F.lit(False).alias("was_seen"),
+    )
+
+
+def bump_refresh_rate(col):
+    """incr(): backoff on 3xx/304/4xx/unchanged (/root/reference/src/Task.py:86-89),
+    capped at MAX_REFRESHRATE=20 (/root/reference/src/Task.py:9)."""
+    return F.least(F.lit(MAX_REFRESH_RATE), col + F.lit(1))

@@ -1,0 +1,447 @@
+"""The crawl round loop — one Catalyst DAG per round.
+
+This is the engine's flagship "query", the Spark re-expression of the
+reference's full slave→master→slave cycle (SURVEY.md §3.1):
+
+    candidates -> scheme/domain rules (F2,F3)
+               -> within-batch dedupe
+               -> bloom pre-filter (F1) -> exact validate (F4,A1)
+               -> robots broadcast join (F5) [+ sitemap side-emit]
+               -> score + per-host politeness top-k (§2.6)
+               -> salted fetch wave (S2/S3, synthetic join in-sandbox)
+               -> payload decode/phash pandas UDF (input_hint)
+               -> content gates (F6 fmt, F7 unchanged-hash)
+               -> outlink extraction (T2/T3) -> next candidates
+               -> MERGE url_seen, append crawl_log + lineage_metrics
+
+Each round commits atomically through the StateStore manifest, so a run
+is resumable from any completed round (north_rule).  The reference's
+equivalents are cited per stage in the operator modules.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.urls import (
+    canonicalize,
+    classify_nature,
+    host_of,
+    host_partition_key,
+    resolve_url,
+    scheme_of,
+)
+from ..operators.bloom import BloomShards, with_bloom_maybe_seen
+from ..operators.dedup import (
+    as_new,
+    bump_refresh_rate,
+    dedupe_within_batch,
+    split_by_bloom,
+    validate_against_seen,
+)
+from ..operators.politeness import politeness_topk, with_score
+from ..operators.robots import apply_robots, sitemap_candidates
+from ..rounds import round_ts
+from ..schemas import MAX_REFRESH_RATE, URL_SEEN_SCHEMA
+from ..sources.fetch import attach_payloads, synthetic_fetch
+from ..sources.state import StateStore
+from .. import schemas as S
+
+ROBOTS_BLOCKED_STATUS = 999  # crawl_log marker for robots-rejected URLs
+
+CANDIDATE_COLS = ["url", "host", "depth", "nature", "round_added"]
+
+import pyspark.sql.types as T
+
+HOST_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("inlinks", T.LongType(), True),
+    ]
+)
+
+CANDIDATES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("host", T.StringType(), True),
+        T.StructField("depth", T.IntegerType(), True),
+        T.StructField("nature", T.StringType(), True),
+        T.StructField("round_added", T.IntegerType(), True),
+    ]
+)
+
+
+@dataclass
+class CrawlConfig:
+    politeness_budget: int = 8  # per (host, round) — north_rule's explicit budget
+    revisit_delay_rounds: int = 10**6  # effectively crawl-once; tests override (A2)
+    num_partitions: int = 32
+    salt: int = 8  # skewed-host spreading factor (P3/P4 analogue)
+    allowed_schemes: tuple[str, ...] = ("http", "https")  # F2 protocolRules
+    allowed_fmts: tuple[str, ...] = ("png", "jpeg")  # F6 content-type gate
+    bloom_bits_per_shard: int = 1 << 20
+    bloom_shards: int = 64
+    decode_payloads: bool = True  # disable for pure scheduler benchmarks
+
+
+class CrawlEngine:
+    def __init__(self, spark: SparkSession, web_dir: str, state_dir: str, config: CrawlConfig | None = None):
+        self.spark = spark
+        self.web_dir = web_dir
+        self.cfg = config or CrawlConfig()
+        self.store = StateStore(spark, state_dir)
+        self.link_graph = spark.read.parquet(f"{web_dir}/link_graph.parquet")
+        self.payloads = spark.read.parquet(f"{web_dir}/payloads.parquet")
+        self.robots = spark.read.parquet(f"{web_dir}/robots_rules.parquet")
+        self.domain_rules = spark.read.parquet(f"{web_dir}/domain_rules.parquet")
+        self.seeds = spark.read.parquet(f"{web_dir}/seeds.parquet")
+        self._bloom: BloomShards | None = None
+
+    # ------------------------------------------------------------------ state
+
+    @property
+    def bloom(self) -> BloomShards:
+        if self._bloom is None:
+            path = f"{self.store.root}/bloom/v{self.store.current_version('bloom')}.npz"
+            if self.store.current_version("bloom") >= 0:
+                self._bloom = BloomShards.load(path)
+            else:
+                self._bloom = BloomShards(self.cfg.bloom_shards, self.cfg.bloom_bits_per_shard)
+        return self._bloom
+
+    def bootstrap(self) -> None:
+        """Round -1: frontier v0 = canonicalized seeds (S1,
+        /root/reference/gateway.py:32-60)."""
+        if self.store.last_round() >= -1 and self.store.current_version("frontier") >= 0:
+            return
+        seeds = self.seeds.select(
+            canonicalize(F.col("url")).alias("url"),
+            F.col("depth").cast("int").alias("depth"),
+            # explicit cast: an all-null seeds.nature column type-infers as
+            # non-string in parquet and coalesce would fail under ANSI
+            F.coalesce(
+                F.col("nature").cast("string"), classify_nature(F.col("url"))
+            ).alias("nature"),
+            F.lit(0).alias("round_added"),
+        ).filter(F.col("url").isNotNull())
+        seeds = seeds.withColumn("host", host_of(F.col("url"))).select(*CANDIDATE_COLS)
+        fv = self.store.write_version("frontier", seeds)
+        uv = self.store.write_version(
+            "url_seen", self.spark.createDataFrame([], URL_SEEN_SCHEMA)
+        )
+        hv = self.store.write_version(
+            "host_stats", self.spark.createDataFrame([], HOST_STATS_SCHEMA)
+        )
+        self.store.commit(-1, {"frontier": fv, "url_seen": uv, "host_stats": hv})
+
+    # ------------------------------------------------------------------ round
+
+    def run_round(self) -> dict:
+        cfg = self.cfg
+        r = self.store.last_round() + 1
+        now = round_ts(r)
+        t_start = time.monotonic()
+        shard = lambda c: host_partition_key(c, cfg.num_partitions)
+
+        candidates = self.store.read("frontier", CANDIDATES_SCHEMA)
+
+        # F2 protocol rules + nature gating (tor/torrent unfetchable in-sandbox)
+        candidates = candidates.filter(
+            scheme_of(F.col("url")).isin(*cfg.allowed_schemes)
+            & ~F.col("nature").isin("web_static_tor", "web_static_torrent")
+        )
+        # F3 domain rules: broadcast blocklist anti-join
+        blocked_hosts = self.domain_rules.filter(~F.col("allowed")).select("host")
+        candidates = candidates.join(F.broadcast(blocked_hosts), "host", "left_anti")
+
+        candidates = dedupe_within_batch(candidates).cache()
+        n_in = candidates.count()
+        if n_in == 0:
+            self._commit_empty(r, t_start)
+            return {"round": r, "scheduled": 0, "fetched": 0, "new_candidates": 0}
+
+        # F1 bloom pre-filter -> F4 exact validate
+        url_seen = self.store.read("url_seen", URL_SEEN_SCHEMA)
+        probed = with_bloom_maybe_seen(self.spark, candidates, self.bloom)
+        definitely_new, maybe_seen = split_by_bloom(probed)
+        schedulable = as_new(definitely_new).unionByName(
+            validate_against_seen(maybe_seen, url_seen, r, cfg.revisit_delay_rounds)
+        )
+
+        # F5 robots (broadcast, longest-match) before budget is spent.
+        # The rules table is re-read (≙ re-fetched) each round, so rules are
+        # always fresh here; TTL expiry itself is unit-tested separately.
+        fresh_robots = self.robots.withColumn("fetched_at", F.lit(now))
+        allowed, robots_blocked = apply_robots(schedulable, fresh_robots, now)
+
+        # §2.6 priority + politeness top-k
+        host_stats = self.store.read("host_stats", HOST_STATS_SCHEMA)
+        scored = with_score(allowed, host_stats)
+        scheduled, deferred = politeness_topk(scored, cfg.politeness_budget)
+        scheduled = scheduled.cache()
+        deferred = deferred.cache()
+        robots_blocked = robots_blocked.cache()
+
+        # S2/S3 fetch wave (salted repartition by host)
+        fetched = synthetic_fetch(scheduled, self.link_graph, cfg.num_partitions, cfg.salt)
+        fetched = attach_payloads(fetched, self.payloads)
+
+        # F7 unchanged-content short-circuit (304 or same sha224)
+        unchanged = (F.col("status") == 304) | (
+            (F.col("status") == 200)
+            & (F.col("last_hash") != "")
+            & (F.col("content_sha224") == F.col("last_hash"))
+        )
+        # F6 content-type gate (sitemaps carry no image payload)
+        is_sitemap = F.col("nature") == "web_static_sitemap"
+        fmt_ok = is_sitemap | F.col("fmt").isin(*cfg.allowed_fmts)
+        saved = (F.col("status") == 200) & ~unchanged & fmt_ok
+
+        fetched = (
+            fetched.withColumn("unchanged", unchanged)
+            .withColumn("saved", saved)
+            .withColumn("extractable", saved)
+        )
+
+        if cfg.decode_payloads:
+            from ..functions.images import decode_validate_image
+
+            fetched = fetched.withColumn(
+                "decoded",
+                F.when(
+                    F.col("saved") & ~is_sitemap & F.col("bytes").isNotNull(),
+                    decode_validate_image(F.col("bytes")),
+                ),
+            ).withColumn("computed_phash", F.col("decoded.phash"))
+        else:
+            fetched = fetched.withColumn("computed_phash", F.lit(None).cast("long"))
+        fetched = fetched.drop("bytes").cache()
+
+        # ----- crawl log (S8/S9 sink)
+        crawl_log = fetched.select(
+            F.lit(r).alias("round"),
+            "url",
+            "host",
+            "status",
+            F.when(F.col("saved"), F.col("image_id")).alias("image_id"),
+            F.when(F.col("saved"), F.col("computed_phash")).alias("phash"),
+            F.when(F.col("saved"), F.col("caption")).alias("caption"),
+            F.lit(now).alias("fetched_at"),
+        ).unionByName(
+            robots_blocked.select(
+                F.lit(r).alias("round"),
+                "url",
+                "host",
+                F.lit(ROBOTS_BLOCKED_STATUS).alias("status"),
+                F.lit(None).cast("string").alias("image_id"),
+                F.lit(None).cast("long").alias("phash"),
+                F.lit(None).cast("string").alias("caption"),
+                F.lit(now).alias("fetched_at"),
+            )
+        )
+
+        # ----- T2/T3 extraction -> next-round candidates
+        # parent depth is carried through the explode (join-free)
+        redirects = (
+            fetched.filter(F.col("status").isin(301, 302, 307, 308) & F.col("location").isNotNull())
+            .select(
+                canonicalize(resolve_url(F.col("url"), F.col("location"))).alias("url"),
+                F.col("depth"),
+            )
+            .filter(F.col("url").isNotNull())
+        )
+        extracted_with_depth = (
+            fetched.filter(F.col("extractable"))
+            .select(
+                F.col("url").alias("parent"),
+                (F.col("depth") + 1).alias("depth"),
+                F.explode_outer("outlinks").alias("raw"),
+            )
+            .select(
+                canonicalize(resolve_url(F.col("parent"), F.col("raw"))).alias("url"),
+                "depth",
+            )
+            .filter(F.col("url").isNotNull())
+            .withColumn("host", host_of(F.col("url")))
+            .cache()
+        )
+
+        sitemaps = sitemap_candidates(self.robots, scheduled).select(
+            "url", host_of(F.col("url")).alias("host"), F.lit(0).alias("depth")
+        )
+        redirect_cands = redirects.withColumn("host", host_of(F.col("url")))
+
+        next_frontier = (
+            extracted_with_depth.select("url", "host", "depth")
+            .unionByName(redirect_cands.select("url", "host", "depth"))
+            .unionByName(sitemaps.select("url", "host", "depth"))
+            .withColumn("nature", classify_nature(F.col("url")))
+            .withColumn("round_added", F.lit(r + 1))
+            .select(*CANDIDATE_COLS)
+            .unionByName(deferred.select(*CANDIDATE_COLS))
+        )
+
+        # ----- state updates (A1 MERGE upsert)
+        backoff_needed = (
+            F.col("status").isin(301, 302, 304, 307, 308)
+            | (F.col("status") >= 400)
+            | F.col("unchanged")
+            | ((F.col("status") == 200) & ~F.col("unchanged") & ~fmt_ok)
+        )
+        seen_updates = fetched.select(
+            "url",
+            "host",
+            scheme_of(F.col("url")).alias("scheme"),
+            "depth",
+            F.col("score"),
+            F.lit(now).alias("last_visited"),
+            F.lit(now).alias("last_controlled"),
+            F.when(F.col("saved"), F.col("content_sha224"))
+            .otherwise(F.col("last_hash"))
+            .alias("last_hash"),
+            F.when(backoff_needed, bump_refresh_rate(F.col("refresh_rate")))
+            .otherwise(F.col("refresh_rate"))
+            .cast("int")
+            .alias("refresh_rate"),
+            "nature",
+            F.col("round_added"),
+        ).unionByName(
+            robots_blocked.select(
+                "url",
+                "host",
+                scheme_of(F.col("url")).alias("scheme"),
+                "depth",
+                F.lit(0.0).alias("score"),
+                F.lit(None).cast("timestamp").alias("last_visited"),
+                F.lit(now).alias("last_controlled"),
+                F.col("last_hash"),
+                F.lit(MAX_REFRESH_RATE).alias("refresh_rate"),
+                "nature",
+                F.col("round_added"),
+            )
+        )
+
+        # host PageRank proxy: cumulative inbound links observed this round
+        inlink_delta = extracted_with_depth.groupBy("host").agg(
+            F.count("*").alias("delta")
+        )
+        merged_stats = (
+            host_stats.join(inlink_delta, "host", "full")
+            .select(
+                "host",
+                (F.coalesce(F.col("inlinks"), F.lit(0)) + F.coalesce(F.col("delta"), F.lit(0))).alias("inlinks"),
+            )
+        )
+
+        # A2 recrawl scheduler (/root/reference/src/Master.py:330-342):
+        # re-emit stale URLs from the *post-round* merged state (URLs
+        # controlled this round have fresh last_controlled = now).
+        seen_cols = [f.name for f in URL_SEEN_SCHEMA.fields]
+        merged_state = (
+            url_seen.join(seen_updates.select("url"), "url", "left_anti")
+            .select(*seen_cols)
+            .unionByName(seen_updates.select(*seen_cols))
+        )
+        recrawl_due = (
+            merged_state
+            .filter(
+                (
+                    F.lit(r + 1)
+                    - (
+                        (
+                            F.unix_timestamp("last_controlled")
+                            - F.unix_timestamp(F.lit("2026-01-01 00:00:00"))
+                        )
+                        / F.lit(3600)
+                    ).cast("long")
+                )
+                >= F.col("refresh_rate").cast("long") * F.lit(cfg.revisit_delay_rounds)
+            )
+            .select("url", "host", "depth", "nature", F.lit(r + 1).alias("round_added"))
+        )
+        next_frontier = next_frontier.unionByName(recrawl_due)
+
+        # ----- lineage / metrics (A3/A4/A6) per host-shard
+        n_sched = scheduled.count()
+        n_blocked = robots_blocked.count()
+        n_fetched = n_sched  # every scheduled URL gets a fetch result row
+        per_part = (
+            fetched.groupBy(shard(F.col("host")).alias("partition_id"))
+            .agg(F.count("*").alias("urls_fetched"))
+        )
+        cand_per_part = candidates.groupBy(shard(F.col("host")).alias("partition_id")).agg(
+            F.count("*").alias("urls_in")
+        )
+        sched_per_part = scheduled.groupBy(shard(F.col("host")).alias("partition_id")).agg(
+            F.count("*").alias("urls_scheduled")
+        )
+        wall_ms = int((time.monotonic() - t_start) * 1000)
+        snapshot = json.dumps(self.store.manifest()["tables"], sort_keys=True)
+        lineage = (
+            cand_per_part.join(sched_per_part, "partition_id", "full")
+            .join(per_part, "partition_id", "full")
+            .select(
+                F.lit(r).alias("round"),
+                F.col("partition_id").cast("int"),
+                F.coalesce(F.col("urls_in"), F.lit(0)).alias("urls_in"),
+                (F.coalesce(F.col("urls_in"), F.lit(0)) - F.coalesce(F.col("urls_scheduled"), F.lit(0))).alias("urls_deduped"),
+                F.coalesce(F.col("urls_scheduled"), F.lit(0)).alias("urls_scheduled"),
+                F.coalesce(F.col("urls_fetched"), F.lit(0)).alias("urls_fetched"),
+                F.lit(wall_ms).alias("wall_ms"),
+                F.lit(snapshot).alias("input_snapshot"),
+            )
+        )
+
+        # ----- persist + atomic commit
+        self.store.append_round("crawl_log", crawl_log, r)
+        self.store.append_round("lineage_metrics", lineage, r)
+        uv = self.store.merge_upsert("url_seen", seen_updates, "url", URL_SEEN_SCHEMA)
+        hv = self.store.write_version("host_stats", merged_stats)
+        fv = self.store.write_version(
+            "frontier", next_frontier.select(*CANDIDATE_COLS)
+        )
+        # incremental bloom update with this round's newly-seen URLs
+        self.bloom.update_from_df(seen_updates.select("url", "host"))
+        bv = self.store.current_version("bloom") + 1
+        self.bloom.save(f"{self.store.root}/bloom/v{bv}.npz")
+        self.store.commit(r, {"url_seen": uv, "host_stats": hv, "frontier": fv, "bloom": bv})
+
+        n_next = next_frontier.count()
+        for df in (candidates, scheduled, deferred, robots_blocked, fetched, extracted_with_depth):
+            df.unpersist()
+        return {
+            "round": r,
+            "candidates": n_in,
+            "scheduled": n_sched,
+            "robots_blocked": n_blocked,
+            "fetched": n_fetched,
+            "new_candidates": n_next,
+            "wall_ms": wall_ms,
+        }
+
+    def _commit_empty(self, r: int, t_start: float) -> None:
+        empty_log = self.spark.createDataFrame([], S.CRAWL_LOG_SCHEMA)
+        self.store.append_round("crawl_log", empty_log, r)
+        self.store.append_round(
+            "lineage_metrics", self.spark.createDataFrame([], S.LINEAGE_METRICS_SCHEMA), r
+        )
+        fv = self.store.write_version(
+            "frontier", self.spark.createDataFrame([], CANDIDATES_SCHEMA)
+        )
+        self.store.commit(r, {"frontier": fv})
+
+    def run(self, n_rounds: int) -> list[dict]:
+        """Run up to n_rounds, resuming from the last committed round."""
+        self.bootstrap()
+        out = []
+        for _ in range(n_rounds):
+            stats = self.run_round()
+            out.append(stats)
+            if stats.get("candidates", 0) == 0 and stats.get("new_candidates", 0) == 0:
+                break
+        return out

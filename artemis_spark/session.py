@@ -1,0 +1,90 @@
+"""SparkSession factory tuned for the crawl engine.
+
+Local-mode defaults mirror what we would set on a 1000-executor cluster:
+AQE on (runtime skew-join splitting replaces the reference's netarea
+split-on-overload, /root/reference/src/Monitor.py:489-515), runtime
+bloom-filter join pruning on (complements our explicit per-partition
+bloom shards), Arrow enabled for every pandas UDF boundary, and UTC so
+results hash-compare cleanly against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+# Iceberg jars are not present in this environment; the state store
+# (sources/state.py) falls back to versioned-parquet snapshots behind the
+# same interface.  On a real cluster, set ARTEMIS_ICEBERG=1 with the
+# iceberg-spark-runtime jar on the classpath.
+ICEBERG_AVAILABLE = bool(int(os.environ.get("ARTEMIS_ICEBERG", "0")))
+
+
+def get_spark(
+    app_name: str = "artemis_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32).
+    ``shuffle_partitions`` defaults to the local core count — at cluster
+    scale this is ~2-3x total cores instead; the round loop additionally
+    repartitions the fetch wave by host (the Phi host-major invariant,
+    /root/reference/src/Netarea.py:7-11).
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    n_shuffle = shuffle_partitions or cpus
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        .config("spark.default.parallelism", str(n_shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("ARTEMIS_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
+    return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship artemis_spark to Python workers (the --py-files pattern).
+
+    Worker processes unpickle our pandas UDFs by importing this package;
+    when the driver script runs outside the repo root the module isn't
+    on the workers' sys.path.  addPyFile distributes a zip exactly the
+    way ``spark-submit --py-files artemis_spark.zip`` does on a cluster
+    (north_rule launch mode).
+    """
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(tempfile.gettempdir(), "artemis_spark_pyfiles.zip")
+    tmp = zpath + f".{os.getpid()}.tmp"
+    with zipfile.ZipFile(tmp, "w") as z:  # always rebuild: a cached zip goes stale
+        for root, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    z.write(full, rel)
+    os.replace(tmp, zpath)
+    spark.sparkContext.addPyFile(zpath)

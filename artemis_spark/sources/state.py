@@ -1,0 +1,131 @@
+"""Versioned table store with atomic round commits — the Iceberg stand-in.
+
+The north_rule calls for Iceberg tables (MERGE INTO url_seen, snapshot
+isolation, resume-from-any-round).  Iceberg jars are absent in this
+environment (session.py:ICEBERG_AVAILABLE), so this module provides the
+same contract over plain parquet:
+
+  * every mutable table (url_seen, host_stats, frontier, bloom bits)
+    is written as a new immutable version directory ``<table>/v{n}``;
+  * a round is committed by atomically replacing ``MANIFEST.json``
+    (os.replace) pointing at the exact version of every table plus the
+    round high-water mark — the snapshot;
+  * append-only outputs (crawl_log, lineage_metrics) land in
+    ``<table>/round={r}`` partition dirs, idempotently overwritten if a
+    crashed round re-runs.
+
+Crash anywhere before the manifest swap leaves the previous snapshot
+intact; resume re-runs the incomplete round from its inputs.  On a real
+cluster the same interface maps 1:1 onto Iceberg MERGE + snapshot ids;
+the MERGE emulation (read current + anti-join + union + write next
+version) is the documented cost of the fallback: O(|state|) rewrite per
+round instead of Iceberg's file-level merge-on-read.
+
+Reference analogue: there is none — the reference's state is RAM-only
+ARC caches that die with the process (/root/reference/src/Cache.py:54-135);
+resumability is a capability the rebuild adds per north_rule.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class StateStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self._manifest_path = os.path.join(root, "MANIFEST.json")
+
+    # -- manifest ------------------------------------------------------------
+
+    def manifest(self) -> dict:
+        if not os.path.exists(self._manifest_path):
+            return {"round": -1, "tables": {}}
+        with open(self._manifest_path) as f:
+            return json.load(f)
+
+    def commit(self, round_no: int, table_versions: dict[str, int]) -> None:
+        """Atomically publish a round: the snapshot pointer swap."""
+        m = self.manifest()
+        m["round"] = round_no
+        m["tables"].update({k: int(v) for k, v in table_versions.items()})
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._manifest_path)
+
+    def last_round(self) -> int:
+        return int(self.manifest()["round"])
+
+    # -- versioned tables ------------------------------------------------------
+
+    def _vdir(self, table: str, version: int) -> str:
+        return os.path.join(self.root, table, f"v{version}")
+
+    def current_version(self, table: str) -> int:
+        return int(self.manifest()["tables"].get(table, -1))
+
+    def read(self, table: str, schema=None) -> DataFrame | None:
+        v = self.current_version(table)
+        if v < 0:
+            if schema is not None:
+                return self.spark.createDataFrame([], schema)
+            return None
+        return self.spark.read.parquet(self._vdir(table, v))
+
+    def write_version(self, table: str, df: DataFrame) -> int:
+        """Write df as the next version dir; returns the version number
+        (caller passes it to commit()). Not visible until committed."""
+        v = self.current_version(table) + 1
+        path = self._vdir(table, v)
+        if os.path.exists(path):  # leftover from a crashed round
+            shutil.rmtree(path)
+        df.write.mode("overwrite").parquet(path)
+        return v
+
+    def merge_upsert(self, table: str, updates: DataFrame, key: str, schema) -> int:
+        """MERGE INTO emulation: rows in ``updates`` replace same-key rows.
+
+        Iceberg path: ``MERGE INTO <table> t USING updates u ON t.url =
+        u.url WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN
+        INSERT *``.  Fallback: current anti-join updates, union, write
+        next version.  Matches A1 tasksMap upsert semantics
+        (/root/reference/src/Master.py:313,322-328).
+        """
+        current = self.read(table, schema)
+        cols = [f.name for f in schema.fields]
+        upd = updates.select(*cols)
+        merged = current.join(upd.select(key), on=key, how="left_anti").select(*cols).unionByName(upd)
+        return self.write_version(table, merged)
+
+    # -- append-only outputs ---------------------------------------------------
+
+    def append_round(self, table: str, df: DataFrame, round_no: int) -> None:
+        """Idempotent per-round append: overwrite the round's partition dir."""
+        path = os.path.join(self.root, table, f"round={round_no}")
+        df.drop("round").write.mode("overwrite").parquet(path)
+
+    def read_appended(self, table: str) -> DataFrame | None:
+        base = os.path.join(self.root, table)
+        if not os.path.exists(base):
+            return None
+        return self.spark.read.option("basePath", base).parquet(base)
+
+    # -- GC ----------------------------------------------------------------------
+
+    def vacuum(self, keep_last: int = 2) -> None:
+        """Drop version dirs older than the committed one (minus keep_last)."""
+        m = self.manifest()
+        for table, v in m["tables"].items():
+            tdir = os.path.join(self.root, table)
+            if not os.path.isdir(tdir):
+                continue
+            for d in os.listdir(tdir):
+                if d.startswith("v") and d[1:].isdigit() and int(d[1:]) < v - keep_last + 1:
+                    shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
