@@ -1,38 +1,636 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator from SURVEY.md §2 (or a
+training-data-pipeline operator from the brief) over the driver's
+TPC-H-ish testdata; ``oracle_sql()`` holds the DuckDB-equivalent SQL.
+Cross-engine reproducibility rules used throughout:
+
+  * money/float aggregates are summed as integer cents (bigint), never
+    raw doubles (cross-engine double sums differ in the last ulp);
+  * 64-bit hashes derive from md5 hex prefixes (identical in Spark and
+    DuckDB) instead of engine-specific hash functions;
+  * similarity thresholds use integer cross-multiplication
+    (den*inter >= num*(s1+s2-inter)) instead of float division;
+  * timestamps are exported as epoch seconds (bigint).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from artemis_spark.functions.text import (
+    EN_STOPWORDS,
+    TOKEN_REGEX,
+    fingerprint64,
+    lang_id,
+    n_regex_tokens,
+    n_tokens,
+    stopword_count,
+)
+from artemis_spark.functions.urls import canonicalize
+from artemis_spark.operators.dedup_text import (
+    MERSENNE_P,
+    _minhash_params,
+    exact_dedup,
+    jaccard_pairs,
+    md5_hash64,
+    minhash_lsh_dedup_pairs,
+    simhash64,
+    word_shingles,
+)
+from artemis_spark.operators.robots import apply_robots
+from artemis_spark.operators.similarity import brute_force_topk, bucketed_ann_topk
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cents(col) -> F.Column:
+    return F.round(col * 100).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# shared synthetic-URL builders (same construction in Spark and SQL so the
+# crawl operators can run over the driver's relational testdata)
+# ---------------------------------------------------------------------------
+
+_RAW_URL_SPARK = (
+    "concat('HTTP://Host', cast(c_custkey % 50 as string), '.TEST/p', "
+    "cast(c_custkey as string), ';sid=9?q=', c_mktsegment, '#frag')"
+)
+_CANON_URL_SQL = (
+    "'http://host' || (c_custkey % 50) || '.test/p' || c_custkey "
+    "|| '?q=' || c_mktsegment"
+)
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: a frontier scheduling wave over sf0.001 — candidates
+    derived from events, exact anti-join dedup vs a seen set, per-host
+    politeness top-k (the crawl round's dedup+priority core,
+    SURVEY.md §3.1)."""
+    sf_dir = "/root/testdata/sf0.001"
+    events = _t(spark, sf_dir, "events")
+    orders = _t(spark, sf_dir, "orders")
+    cands = events.select(
+        F.concat(
+            F.lit("http://host"),
+            (F.col("user_id") % 64).cast("string"),
+            F.lit(".test/e"),
+            F.col("event_id").cast("string"),
+        ).alias("url"),
+        (F.col("user_id") % 64).cast("string").alias("host"),
+        F.col("event_id"),
+        (F.col("event_id") % 7).cast("int").alias("depth"),
+    )
+    seen = (
+        orders.where(F.col("o_orderstatus") == "F")
+        .select((F.col("o_orderkey") % 1000).alias("event_id"))
+        .distinct()
+    )
+    new = cands.join(seen, "event_id", "left_anti")
+    w = Window.partitionBy("host").orderBy(F.asc("depth"), F.asc("url"))
+    return (
+        new.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 8)
+        .select("url", "host", "depth", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_url_canonicalize(spark, sf_dir):
+    """T5 canonicalizer: mixed-case scheme/host lowered, ;params and
+    #fragment dropped, query kept (ExtractorFactory.py:50-66)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey"),
+        canonicalize(F.expr(_RAW_URL_SPARK)).alias("url"),
+    )
+
+
+def q_url_host_shard(spark, sf_dir):
+    """P1 host-major keying: deterministic shard id per URL (prod path
+    uses xxhash64; md5-derived here for the cross-engine oracle)."""
+    c = _t(spark, sf_dir, "customer")
+    url = canonicalize(F.expr(_RAW_URL_SPARK))
+    return c.select(
+        F.col("c_custkey"),
+        (md5_hash64(url) % 32).alias("shard"),
+    )
+
+
+def q_dedup_anti_join(spark, sf_dir):
+    """F4 exact URL-seen dedup as a left anti-join (Master.py:284-314)."""
+    orders = _t(spark, sf_dir, "orders")
+    seen = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+        .distinct()
+    )
+    return orders.join(
+        seen, orders["o_orderkey"] == seen["l_orderkey"], "left_anti"
+    ).select("o_orderkey")
+
+
+def q_within_batch_dedupe(spark, sf_dir):
+    """Within-batch candidate dedupe: min per key (dedup.py semantics)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.min("l_linenumber").alias("first_line"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+def q_politeness_topk(spark, sf_dir):
+    """§2.6 politeness: window-ranked top-k per group with deterministic
+    tie-break — top-3 lineitems per supplier by price."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.desc("price_cents"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    )
+    return (
+        li.withColumn("price_cents", _cents(F.col("l_extendedprice")))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("l_suppkey", "rank", "l_orderkey", "l_linenumber", "price_cents")
+    )
+
+
+def q_robots_filter(spark, sf_dir):
+    """F5 robots longest-match prefix filter as a broadcast join
+    (Robot.py:27-81): /p1 disallowed but /p12 re-allowed on host 2;
+    everything disallowed on host 5."""
+    import datetime
+
+    c = _t(spark, sf_dir, "customer")
+    wave = c.select(
+        F.concat(
+            F.lit("http://host"),
+            (F.col("c_custkey") % 10).cast("string"),
+            F.lit(".test/p"),
+            F.col("c_custkey").cast("string"),
+        ).alias("url"),
+        F.concat(F.lit("host"), (F.col("c_custkey") % 10).cast("string"), F.lit(".test")).alias("host"),
+        F.col("c_custkey"),
+    )
+    t0 = datetime.datetime(2026, 1, 1)
+    rules = spark.createDataFrame(
+        [
+            ("host2.test", "/p1", False, None, t0, 10**9),
+            ("host2.test", "/p12", True, None, t0, 10**9),
+            ("host5.test", "/", False, None, t0, 10**9),
+        ],
+        "host string, pattern string, allow boolean, sitemap_url string, fetched_at timestamp, ttl_s long",
+    )
+    allowed, _blocked = apply_robots(wave, rules, t0)
+    return allowed.select("c_custkey", "url")
+
+
+def q_state_merge(spark, sf_dir):
+    """F4 crawl-state merge: left join + per-column coalesce
+    (Master.py:296-310)."""
+    new_batch = _t(spark, sf_dir, "lineitem").select("l_orderkey").distinct()
+    stored = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"), F.col("o_orderpriority")
+    )
+    j = new_batch.join(stored, new_batch["l_orderkey"] == stored["o_orderkey"], "left")
+    return j.select(
+        "l_orderkey",
+        F.coalesce(F.col("o_orderpriority"), F.lit("NEW")).alias("priority"),
+    )
+
+
+def q_refresh_backoff(spark, sf_dir):
+    """T7 refresh-rate backoff: incr() capped at 20 (Task.py:9,86-92)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(
+            F.col("l_returnflag") == "R",
+            F.least(F.lit(20), F.col("l_linenumber") + 15),
+        )
+        .otherwise(F.col("l_linenumber"))
+        .alias("refresh_rate"),
+    )
+
+
+def q_recrawl_due(spark, sf_dir):
+    """A2 recrawl scheduler: due when last_visit + refresh_rate*delay has
+    passed (Master.py:330-342); refresh_rate derived per key."""
+    o = _t(spark, sf_dir, "orders")
+    due = F.expr(
+        "o_orderdate + make_interval(0, 0, 0, cast(o_orderkey % 20 + 1 as int), 0, 0, 0)"
+    )
+    return o.where(due < F.lit("1996-01-01").cast("timestamp")).select("o_orderkey")
+
+
+def q_crawl_metrics_rollup(spark, sf_dir):
+    """A4/A6 metrics rollup (TPC-H-Q1 shape) with integer-cent sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+            F.sum(
+                _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+            ).alias("sum_disc_scaled"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_host_stats_agg(spark, sf_dir):
+    """A3 per-shard accounting: counts + integer sums per group."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(_cents(F.col("value"))).alias("value_cents"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def q_events_window_agg(spark, sf_dir):
+    """Windowed rollup (streaming aggregation shape, batch-equivalent):
+    per-hour per-type counts; hour exported as epoch seconds."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+        F.col("event_type"),
+    ).agg(F.count("*").alias("n"), F.sum(_cents(F.col("value"))).alias("value_cents"))
+
+
+def q_sessionize(spark, sf_dir):
+    """Sessionization: 30-min-gap sessions via lag + running sum — the
+    batch equivalent of session_window streaming."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = (
+        e.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn("session_id", F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ))
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min(F.unix_timestamp("ts")).alias("start_epoch"),
+    )
+
+
+def q_exact_dedup_docs(spark, sf_dir):
+    """Exact dedup: min doc per (lang, source) group."""
+    d = _t(spark, sf_dir, "documents")
+    return exact_dedup(d, ["lang", "source"], "doc_id")
+
+
+def q_fingerprint_docs(spark, sf_dir):
+    """Document fingerprinting: md5-derived 63-bit content hash of the
+    normalized text."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint64(F.col("text")).alias("fp"))
+
+
+def q_token_quality(spark, sf_dir):
+    """Token counting + quality features + heuristic language ID."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_tokens(F.col("text")).alias("n_toks"),
+        n_regex_tokens(F.col("text")).alias("n_rtoks"),
+        stopword_count(F.col("text")).alias("n_stop"),
+        lang_id(F.col("text")).alias("pred_lang"),
+    )
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs via shingle posting join;
+    integer-arithmetic threshold jaccard >= 1/4."""
+    d = _t(spark, sf_dir, "documents")
+    sh = word_shingles(d, "doc_id", "text", 3)
+    return jaccard_pairs(sh, "doc_id", num=1, den=4)
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash+LSH candidate generation (8 hashes, 4 bands) with exact
+    jaccard >= 1/5 verification."""
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_dedup_pairs(d, "doc_id", "text", n=3, k=8, bands=4, num=1, den=5)
+
+
+def q_simhash_docs(spark, sf_dir):
+    """63-bit SimHash per document from md5-derived word hashes."""
+    d = _t(spark, sf_dir, "documents")
+    return simhash64(d, "doc_id", "text")
+
+
+def q_ann_brute_topk(spark, sf_dir):
+    """Brute-force cosine top-5 (rank output; cosine rounded to 3dp
+    before ranking, ties by neighbor id)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    return brute_force_topk(emb, q, k=5).select("query_id", "rank", "neighbor_id")
+
+
+def q_ann_bucketed(spark, sf_dir):
+    """Sign-bucketed ANN top-3 — the IVF/LSH-style pruned path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    return bucketed_ann_topk(emb, q, k=3, d=3).select("query_id", "rank", "neighbor_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "url_canonicalize": q_url_canonicalize,
+        "url_host_shard": q_url_host_shard,
+        "dedup_anti_join": q_dedup_anti_join,
+        "within_batch_dedupe": q_within_batch_dedupe,
+        "politeness_topk": q_politeness_topk,
+        "robots_filter": q_robots_filter,
+        "state_merge": q_state_merge,
+        "refresh_backoff": q_refresh_backoff,
+        "recrawl_due": q_recrawl_due,
+        "crawl_metrics_rollup": q_crawl_metrics_rollup,
+        "host_stats_agg": q_host_stats_agg,
+        "events_window_agg": q_events_window_agg,
+        "sessionize": q_sessionize,
+        "exact_dedup_docs": q_exact_dedup_docs,
+        "fingerprint_docs": q_fingerprint_docs,
+        "token_quality": q_token_quality,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_docs": q_simhash_docs,
+        "ann_brute_topk": q_ann_brute_topk,
+        "ann_bucketed": q_ann_bucketed,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB)
+# ---------------------------------------------------------------------------
+
+_SHINGLES_CTE = """
+words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, s AS shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(0, len(ws) - 2),
+                  i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS s
+    FROM words WHERE len(ws) >= 3
+  ) WHERE length(s) > 0
+),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id)
+"""
+
+
+def _jaccard_sql(num: int, den: int, cand_cte: str = "") -> str:
+    """Posting-join jaccard SQL; optionally restricted to candidate pairs."""
+    cand_join = "JOIN cands USING (doc1, doc2)" if cand_cte else ""
+    return f"""
+WITH {_SHINGLES_CTE} {cand_cte}
+, inter AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc1, i.doc2, i.inter,
+       s1.n_shingles AS size1, s2.n_shingles AS size2
+FROM inter i
+{cand_join}
+JOIN sizes s1 ON s1.doc_id = i.doc1
+JOIN sizes s2 ON s2.doc_id = i.doc2
+WHERE {den} * i.inter >= {num} * (s1.n_shingles + s2.n_shingles - i.inter)
+"""
+
+
+def _minhash_oracle_sql(k: int = 8, bands: int = 4, num: int = 1, den: int = 5) -> str:
+    params = _minhash_params(k)
+    mh_exprs = ",\n    ".join(
+        f"min(({a}::BIGINT * h + {b}) % {MERSENNE_P}) AS mh{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    rows_per_band = k // bands
+    band_selects = []
+    for bidx in range(bands):
+        cols = [f"mh{bidx * rows_per_band + j}" for j in range(rows_per_band)]
+        bucket = " || '_' || ".join(f"{c}::VARCHAR" for c in cols)
+        band_selects.append(f"SELECT doc_id, {bucket} AS bucket FROM sig")
+    bands_sql = " UNION ALL ".join(band_selects)
+    cand_cte = f"""
+, hashed AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(shingle), 1, 15))::BIGINT % {MERSENNE_P}) AS h
+  FROM sh
+),
+sig AS (
+  SELECT doc_id, {mh_exprs} FROM hashed GROUP BY doc_id
+),
+banded AS ({bands_sql}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+"""
+    return _jaccard_sql(num, den, cand_cte)
+
+
+def _simhash_oracle_sql() -> str:
+    sums = ",\n    ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(63)
+    )
+    recompose = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN {2**j}::BIGINT ELSE 0 END)" for j in range(63)
+    )
+    return f"""
+WITH w AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+  ) WHERE length(tok) > 0
+),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM w
+),
+s AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
+SELECT doc_id, ({recompose}) AS simhash FROM s
+"""
+
+
+_STOP_LIST_SQL = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+
+_ANN_CTE = """
+q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.v, c.v), 3) AS cos_sim
+  FROM q JOIN c ON q.vec_id <> c.vec_id
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "url_canonicalize": f"SELECT c_custkey, {_CANON_URL_SQL} AS url FROM customer",
+        "url_host_shard": f"""
+            SELECT c_custkey,
+                   (('0x' || substr(md5({_CANON_URL_SQL}), 1, 15))::BIGINT % 32) AS shard
+            FROM customer""",
+        "dedup_anti_join": """
+            SELECT o_orderkey FROM orders o
+            WHERE NOT EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')""",
+        "within_batch_dedupe": """
+            SELECT l_orderkey, min(l_linenumber) AS first_line, count(*) AS n_lines
+            FROM lineitem GROUP BY l_orderkey""",
+        "politeness_topk": """
+            SELECT l_suppkey, rank, l_orderkey, l_linenumber, price_cents FROM (
+              SELECT l_suppkey, l_orderkey, l_linenumber,
+                     round(l_extendedprice * 100)::BIGINT AS price_cents,
+                     row_number() OVER (PARTITION BY l_suppkey
+                       ORDER BY round(l_extendedprice * 100)::BIGINT DESC,
+                                l_orderkey ASC, l_linenumber ASC) AS rank
+              FROM lineitem) WHERE rank <= 3""",
+        "robots_filter": """
+            WITH wave AS (
+              SELECT c_custkey,
+                     'http://host' || (c_custkey % 10) || '.test/p' || c_custkey AS url,
+                     'host' || (c_custkey % 10) || '.test' AS host,
+                     '/p' || c_custkey AS path
+              FROM customer),
+            rules(host, pattern, allow) AS (VALUES
+              ('host2.test', '/p1', false),
+              ('host2.test', '/p12', true),
+              ('host5.test', '/', false)),
+            best AS (
+              SELECT w.c_custkey, w.url,
+                     max_by(r.allow, length(r.pattern)) AS allow
+              FROM wave w JOIN rules r
+                ON w.host = r.host AND starts_with(w.path, r.pattern)
+              GROUP BY 1, 2)
+            SELECT w.c_custkey, w.url FROM wave w
+            LEFT JOIN best b ON b.c_custkey = w.c_custkey
+            WHERE coalesce(b.allow, true)""",
+        "state_merge": """
+            SELECT l_orderkey, coalesce(o_orderpriority, 'NEW') AS priority
+            FROM (SELECT DISTINCT l_orderkey FROM lineitem) n
+            LEFT JOIN orders ON o_orderkey = l_orderkey""",
+        "refresh_backoff": """
+            SELECT l_orderkey, l_linenumber,
+                   CASE WHEN l_returnflag = 'R'
+                        THEN least(20, l_linenumber + 15)
+                        ELSE l_linenumber END AS refresh_rate
+            FROM lineitem""",
+        "recrawl_due": """
+            SELECT o_orderkey FROM orders
+            WHERE o_orderdate + ((o_orderkey % 20 + 1) * INTERVAL 1 DAY)
+                  < TIMESTAMP '1996-01-01'""",
+        "crawl_metrics_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity::BIGINT) AS sum_qty,
+                   sum(round(l_extendedprice * 100)::BIGINT) AS sum_base_cents,
+                   sum(round(l_extendedprice * 100)::BIGINT
+                       * (100 - round(l_discount * 100)::BIGINT)) AS sum_disc_scaled,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus""",
+        "host_stats_agg": """
+            SELECT event_type, count(*) AS n,
+                   sum(round(value * 100)::BIGINT) AS value_cents,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type""",
+        "events_window_agg": """
+            SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch, event_type,
+                   count(*) AS n, sum(round(value * 100)::BIGINT) AS value_cents
+            FROM events GROUP BY 1, 2""",
+        "sessionize": """
+            -- floor(epoch()) everywhere: Spark's unix_timestamp truncates
+            -- sub-second parts while DuckDB's epoch() keeps them
+            WITH g AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) IS NULL
+                            OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+            s AS (
+              SELECT user_id, ts,
+                     sum(new_sess) OVER (PARTITION BY user_id
+                       ORDER BY ts ASC, event_id ASC
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM g)
+            SELECT user_id, session_id, count(*) AS n_events,
+                   floor(min(epoch(ts)))::BIGINT AS start_epoch
+            FROM s GROUP BY user_id, session_id""",
+        "exact_dedup_docs": """
+            SELECT lang, source, min(doc_id) AS doc_id
+            FROM documents GROUP BY lang, source""",
+        "fingerprint_docs": r"""
+            SELECT doc_id,
+                   ('0x' || substr(md5(regexp_replace(trim(lower(text)),
+                        '\s+', ' ', 'g')), 1, 15))::BIGINT AS fp
+            FROM documents""",
+        "token_quality": rf"""
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len(string_split(text, ' ')) AS n_toks,
+                   len(regexp_extract_all(lower(text), '{TOKEN_REGEX}')) AS n_rtoks,
+                   len(list_filter(string_split(lower(text), ' '),
+                       w -> list_contains({_STOP_LIST_SQL}, w))) AS n_stop,
+                   CASE WHEN 20 * len(list_filter(string_split(lower(text), ' '),
+                             w -> list_contains({_STOP_LIST_SQL}, w)))
+                             >= len(string_split(text, ' '))
+                        THEN 'en' ELSE 'other' END AS pred_lang
+            FROM documents""",
+        "ngram_jaccard_pairs": _jaccard_sql(1, 4),
+        "minhash_lsh_pairs": _minhash_oracle_sql(8, 4, 1, 5),
+        "simhash_docs": _simhash_oracle_sql(),
+        "ann_brute_topk": f"""
+            WITH {_ANN_CTE}
+            SELECT query_id, rank, neighbor_id FROM (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+              FROM scored) WHERE rank <= 5""",
+        "ann_bucketed": """
+            WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                         (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+                       + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+                       + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) AS bucket
+                       FROM embeddings WHERE vec_id < 10),
+            c AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                         (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+                       + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+                       + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) AS bucket
+                  FROM embeddings),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(q.v, c.v), 3) AS cos_sim
+              FROM q JOIN c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id)
+            SELECT query_id, rank, neighbor_id FROM (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+              FROM scored) WHERE rank <= 3""",
+    }

@@ -81,12 +81,15 @@ class CrawlConfig:
     politeness_budget: int = 8  # per (host, round) — north_rule's explicit budget
     revisit_delay_rounds: int = 10**6  # effectively crawl-once; tests override (A2)
     num_partitions: int = 32
-    salt: int = 8  # skewed-host spreading factor (P3/P4 analogue)
     allowed_schemes: tuple[str, ...] = ("http", "https")  # F2 protocolRules
     allowed_fmts: tuple[str, ...] = ("png", "jpeg")  # F6 content-type gate
     bloom_bits_per_shard: int = 1 << 20
     bloom_shards: int = 64
     decode_payloads: bool = True  # disable for pure scheduler benchmarks
+    # salt>0 shapes the wave for a real per-host HTTP fetcher; the
+    # synthetic join path leaves it 0 (the join partitions by url).
+    fetch_salt: int = 0
+    cache_web: bool = True  # cache link_graph/payloads partitioned on join keys
 
 
 class CrawlEngine:
@@ -97,6 +100,14 @@ class CrawlEngine:
         self.store = StateStore(spark, state_dir)
         self.link_graph = spark.read.parquet(f"{web_dir}/link_graph.parquet")
         self.payloads = spark.read.parquet(f"{web_dir}/payloads.parquet")
+        if self.cfg.cache_web:
+            # pre-partition the static web tables on their join keys once;
+            # the cached partitioning is visible to Catalyst, so per-round
+            # fetch joins only exchange the (much smaller) wave side.
+            # Iceberg/bucketed tables give the same effect on a cluster.
+            P = self.cfg.num_partitions
+            self.link_graph = self.link_graph.repartition(P, "url").persist()
+            self.payloads = self.payloads.repartition(P, "image_id").persist()
         self.robots = spark.read.parquet(f"{web_dir}/robots_rules.parquet")
         self.domain_rules = spark.read.parquet(f"{web_dir}/domain_rules.parquet")
         self.seeds = spark.read.parquet(f"{web_dir}/seeds.parquet")
@@ -187,8 +198,10 @@ class CrawlEngine:
         deferred = deferred.cache()
         robots_blocked = robots_blocked.cache()
 
-        # S2/S3 fetch wave (salted repartition by host)
-        fetched = synthetic_fetch(scheduled, self.link_graph, cfg.num_partitions, cfg.salt)
+        # S2/S3 fetch wave
+        fetched = synthetic_fetch(
+            scheduled, self.link_graph, cfg.num_partitions, cfg.fetch_salt
+        )
         fetched = attach_payloads(fetched, self.payloads)
 
         # F7 unchanged-content short-circuit (304 or same sha224)
@@ -324,7 +337,7 @@ class CrawlEngine:
                 "nature",
                 F.col("round_added"),
             )
-        )
+        ).cache()  # consumed by merge_upsert, recrawl merged_state and bloom
 
         # host PageRank proxy: cumulative inbound links observed this round
         inlink_delta = extracted_with_depth.groupBy("host").agg(
@@ -364,7 +377,7 @@ class CrawlEngine:
             )
             .select("url", "host", "depth", "nature", F.lit(r + 1).alias("round_added"))
         )
-        next_frontier = next_frontier.unionByName(recrawl_due)
+        next_frontier = next_frontier.unionByName(recrawl_due).select(*CANDIDATE_COLS).cache()
 
         # ----- lineage / metrics (A3/A4/A6) per host-shard
         n_sched = scheduled.count()
@@ -402,9 +415,7 @@ class CrawlEngine:
         self.store.append_round("lineage_metrics", lineage, r)
         uv = self.store.merge_upsert("url_seen", seen_updates, "url", URL_SEEN_SCHEMA)
         hv = self.store.write_version("host_stats", merged_stats)
-        fv = self.store.write_version(
-            "frontier", next_frontier.select(*CANDIDATE_COLS)
-        )
+        fv = self.store.write_version("frontier", next_frontier)
         # incremental bloom update with this round's newly-seen URLs
         self.bloom.update_from_df(seen_updates.select("url", "host"))
         bv = self.store.current_version("bloom") + 1
@@ -412,7 +423,16 @@ class CrawlEngine:
         self.store.commit(r, {"url_seen": uv, "host_stats": hv, "frontier": fv, "bloom": bv})
 
         n_next = next_frontier.count()
-        for df in (candidates, scheduled, deferred, robots_blocked, fetched, extracted_with_depth):
+        for df in (
+            candidates,
+            scheduled,
+            deferred,
+            robots_blocked,
+            fetched,
+            extracted_with_depth,
+            seen_updates,
+            next_frontier,
+        ):
             df.unpersist()
         return {
             "round": r,

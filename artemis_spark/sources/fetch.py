@@ -43,21 +43,30 @@ def synthetic_fetch(
     wave: DataFrame,
     link_graph: DataFrame,
     num_partitions: int,
-    salt: int = 8,
+    salt: int = 0,
 ) -> DataFrame:
     """Join the scheduled wave against the synthetic web.
 
     URLs absent from link_graph come back status=404 (dead link), the
     same observable as a live 404 (/root/reference/src/handlers/HTTPDefaultHandler.py:46-49).
+
+    ``salt > 0`` first repartitions the wave by salted host — the shape
+    a *real* per-host HTTP fetcher needs (connection reuse + skew
+    spreading, north_rule).  For the synthetic join path the default is
+    salt=0: the join itself partitions by url, and an up-front host
+    repartition would just add a full extra shuffle per round.  Pass the
+    link_graph pre-partitioned by url (see CrawlEngine) and only the
+    wave side exchanges.
     """
-    salted = wave.repartition(
-        num_partitions, salted_host(F.col("host"), F.col("url"), salt)
-    )
+    if salt > 0:
+        wave = wave.repartition(
+            num_partitions, salted_host(F.col("host"), F.col("url"), salt)
+        )
     lg = link_graph.select(
         F.col("url").alias("g_url"),
         *[F.col(c) for c in FETCH_RESULT_COLS],
     )
-    j = salted.join(lg, salted["url"] == lg["g_url"], "left").drop("g_url")
+    j = wave.join(lg, wave["url"] == lg["g_url"], "left").drop("g_url")
     return j.withColumn("status", F.coalesce(F.col("status"), F.lit(404)))
 
 

@@ -1,0 +1,128 @@
+"""Benchmark harness.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>,
+   "crawl": {urls_per_sec, urls, rounds, wall_sec, cpus},
+   ...}
+
+Two parts:
+  1. headline operator queries from __spark_entry__ at $SPARK_GRAFT_SF_DIR
+     (default /root/testdata/sf0.1), each timed to completion (count());
+  2. the crawl round loop (the north metric: URLs scheduled+fetched/sec)
+     over the deterministic synthetic web at ARTEMIS_BENCH_TIER
+     (default "small"; "bench" for the full 600k-page run).
+
+Scaling evidence (north_rule: efficiency >= 0.8 from N to 4N executors)
+is produced by scaling_bench.py, which runs this file at two
+parallelism levels and writes BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def bench_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    out = {}
+    for name in names:
+        t0 = time.monotonic()
+        qs[name](spark, sf_dir).count()
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def bench_crawl(spark, tier: str, rounds: int, budget: int) -> dict:
+    from artemis_spark.datagen import generate
+    from artemis_spark.plans.crawl import CrawlConfig, CrawlEngine
+
+    web_dir = os.path.join(tempfile.gettempdir(), f"artemis_bench_web_{tier}")
+    marker = os.path.join(web_dir, "_DONE")
+    if not os.path.exists(marker):  # datagen is one-time, not benchmarked
+        generate(tier, web_dir)
+        open(marker, "w").close()
+    state_dir = os.path.join(tempfile.gettempdir(), f"artemis_bench_state_{os.getpid()}")
+    shutil.rmtree(state_dir, ignore_errors=True)
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    cfg = CrawlConfig(
+        politeness_budget=budget,
+        num_partitions=cpus,
+        bloom_shards=cpus * 2,
+    )
+    eng = CrawlEngine(spark, web_dir, state_dir, cfg)
+    t0 = time.monotonic()
+    stats = eng.run(rounds)
+    wall = time.monotonic() - t0
+    urls = sum(s.get("scheduled", 0) for s in stats) + sum(
+        s.get("fetched", 0) for s in stats
+    )
+    shutil.rmtree(state_dir, ignore_errors=True)
+    return {
+        "urls_per_sec": round(urls / wall, 1),
+        "urls": urls,
+        "rounds": len(stats),
+        "wall_sec": round(wall, 2),
+        "cpus": cpus,
+        "per_round": [
+            {k: s[k] for k in ("round", "scheduled", "fetched", "wall_ms") if k in s}
+            for s in stats
+        ],
+    }
+
+
+HEADLINE = [
+    "dedup_anti_join",
+    "politeness_topk",
+    "crawl_metrics_rollup",
+    "sessionize",
+    "token_quality",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_docs",
+    "ann_brute_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+    tier = os.environ.get("ARTEMIS_BENCH_TIER", "small")
+    rounds = int(os.environ.get("ARTEMIS_BENCH_ROUNDS", "4"))
+    budget = int(os.environ.get("ARTEMIS_BENCH_BUDGET", "64"))
+    crawl_only = "--crawl-only" in sys.argv
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from artemis_spark.session import get_spark
+
+    spark = get_spark("artemis_bench")
+
+    t_total = time.monotonic()
+    queries = {} if crawl_only else bench_queries(spark, sf_dir, HEADLINE)
+    crawl = bench_crawl(spark, tier, rounds, budget)
+    total = round(time.monotonic() - t_total, 2)
+
+    print(
+        json.dumps(
+            {
+                "metric": "URLs scheduled+fetched/sec (crawl loop) + headline operator latencies",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "crawl": crawl,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
