@@ -93,10 +93,18 @@ class CrawlConfig:
 
 
 class CrawlEngine:
-    def __init__(self, spark: SparkSession, web_dir: str, state_dir: str, config: CrawlConfig | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        web_dir: str,
+        state_dir: str,
+        config: CrawlConfig | None = None,
+        seeds_path: str | None = None,
+    ):
         self.spark = spark
         self.web_dir = web_dir
         self.cfg = config or CrawlConfig()
+        self.seeds_path = seeds_path or f"{web_dir}/seeds.parquet"
         self.store = StateStore(spark, state_dir)
         self.link_graph = spark.read.parquet(f"{web_dir}/link_graph.parquet")
         self.payloads = spark.read.parquet(f"{web_dir}/payloads.parquet")
@@ -110,7 +118,7 @@ class CrawlEngine:
             self.payloads = self.payloads.repartition(P, "image_id").persist()
         self.robots = spark.read.parquet(f"{web_dir}/robots_rules.parquet")
         self.domain_rules = spark.read.parquet(f"{web_dir}/domain_rules.parquet")
-        self.seeds = spark.read.parquet(f"{web_dir}/seeds.parquet")
+        self.seeds = spark.read.parquet(self.seeds_path)
         self._bloom: BloomShards | None = None
 
     # ------------------------------------------------------------------ state
@@ -410,16 +418,48 @@ class CrawlEngine:
             )
         )
 
-        # ----- persist + atomic commit
-        self.store.append_round("crawl_log", crawl_log, r)
-        self.store.append_round("lineage_metrics", lineage, r)
-        uv = self.store.merge_upsert("url_seen", seen_updates, "url", URL_SEEN_SCHEMA)
-        hv = self.store.write_version("host_stats", merged_stats)
-        fv = self.store.write_version("frontier", next_frontier)
-        # incremental bloom update with this round's newly-seen URLs
-        self.bloom.update_from_df(seen_updates.select("url", "host"))
-        bv = self.store.current_version("bloom") + 1
-        self.bloom.save(f"{self.store.root}/bloom/v{bv}.npz")
+        # ----- persist + atomic commit.
+        # The six persists are data-independent (they share only cached
+        # parents), so they run as concurrent Spark jobs from driver
+        # threads — the per-job driver overhead overlaps instead of
+        # serializing.  Nothing is visible until the manifest commit.
+        from concurrent.futures import ThreadPoolExecutor
+
+        # materialize the shared cache once before fan-out
+        seen_updates.count()
+
+        def _crawl_log():
+            self.store.append_round("crawl_log", crawl_log, r)
+
+        def _lineage():
+            self.store.append_round("lineage_metrics", lineage, r)
+
+        def _merge():
+            return self.store.merge_upsert("url_seen", seen_updates, "url", URL_SEEN_SCHEMA)
+
+        def _stats():
+            return self.store.write_version("host_stats", merged_stats)
+
+        def _frontier():
+            return self.store.write_version("frontier", next_frontier)
+
+        def _bloom():
+            # incremental bloom update with this round's newly-seen URLs
+            self.bloom.update_from_df(seen_updates.select("url", "host"))
+            bv = self.store.current_version("bloom") + 1
+            self.bloom.save(f"{self.store.root}/bloom/v{bv}.npz")
+            return bv
+
+        with ThreadPoolExecutor(max_workers=6) as pool:
+            f_log = pool.submit(_crawl_log)
+            f_lin = pool.submit(_lineage)
+            f_uv = pool.submit(_merge)
+            f_hv = pool.submit(_stats)
+            f_fv = pool.submit(_frontier)
+            f_bv = pool.submit(_bloom)
+            f_log.result()
+            f_lin.result()
+            uv, hv, fv, bv = f_uv.result(), f_hv.result(), f_fv.result(), f_bv.result()
         self.store.commit(r, {"url_seen": uv, "host_stats": hv, "frontier": fv, "bloom": bv})
 
         n_next = next_frontier.count()
@@ -460,7 +500,9 @@ class CrawlEngine:
         self.bootstrap()
         out = []
         for _ in range(n_rounds):
+            t0 = time.monotonic()
             stats = self.run_round()
+            stats["round_wall_ms"] = int((time.monotonic() - t0) * 1000)
             out.append(stats)
             if stats.get("candidates", 0) == 0 and stats.get("new_candidates", 0) == 0:
                 break

@@ -40,6 +40,27 @@ def bench_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     return out
 
 
+def _dense_seeds(web_dir: str, tier: str, pages_per_host: int) -> str:
+    """Seed the first N pages of every host so the very first wave is
+    full-size (scaling runs measure steady-state, not ramp-up)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from artemis_spark.datagen import TIERS, page_url
+
+    spec = TIERS[tier]
+    rows = [
+        {"url": page_url(k, j), "depth": 0, "nature": "web_static"}
+        for k in range(spec.n_hosts)
+        for j in range(min(pages_per_host, spec.pages_per_host))
+    ]
+    path = os.path.join(web_dir, f"seeds_dense_{pages_per_host}.parquet")
+    if not os.path.exists(path):
+        pq.write_table(pa.Table.from_pandas(pd.DataFrame(rows)), path)
+    return path
+
+
 def bench_crawl(spark, tier: str, rounds: int, budget: int) -> dict:
     from artemis_spark.datagen import generate
     from artemis_spark.plans.crawl import CrawlConfig, CrawlEngine
@@ -53,27 +74,40 @@ def bench_crawl(spark, tier: str, rounds: int, budget: int) -> dict:
     shutil.rmtree(state_dir, ignore_errors=True)
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    seeds_per_host = int(os.environ.get("ARTEMIS_BENCH_SEEDS_PER_HOST", "0"))
+    seeds_path = (
+        _dense_seeds(web_dir, tier, seeds_per_host) if seeds_per_host > 0 else None
+    )
     cfg = CrawlConfig(
         politeness_budget=budget,
         num_partitions=cpus,
         bloom_shards=cpus * 2,
     )
-    eng = CrawlEngine(spark, web_dir, state_dir, cfg)
+    eng = CrawlEngine(spark, web_dir, state_dir, cfg, seeds_path=seeds_path)
     t0 = time.monotonic()
     stats = eng.run(rounds)
     wall = time.monotonic() - t0
     urls = sum(s.get("scheduled", 0) for s in stats) + sum(
         s.get("fetched", 0) for s in stats
     )
+    # steady-state view: skip the ramp-up round 0 (fixed bootstrap costs)
+    steady = [s for s in stats if s["round"] >= 1]
+    steady_urls = sum(s.get("scheduled", 0) + s.get("fetched", 0) for s in steady)
+    steady_wall = sum(s.get("round_wall_ms", 0) for s in steady) / 1000.0
     shutil.rmtree(state_dir, ignore_errors=True)
     return {
         "urls_per_sec": round(urls / wall, 1),
+        "urls_per_sec_steady": round(steady_urls / steady_wall, 1) if steady_wall else None,
         "urls": urls,
         "rounds": len(stats),
         "wall_sec": round(wall, 2),
         "cpus": cpus,
         "per_round": [
-            {k: s[k] for k in ("round", "scheduled", "fetched", "wall_ms") if k in s}
+            {
+                k: s[k]
+                for k in ("round", "scheduled", "fetched", "round_wall_ms")
+                if k in s
+            }
             for s in stats
         ],
     }
