@@ -8,14 +8,20 @@ from artemis_spark.streaming.events import frontier_stream_dedup, windowed_metri
 
 
 @pytest.fixture(scope="module")
-def events_schema(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/events.parquet").schema
+def events_dir(sf_dir, tmp_path_factory):
+    # the streaming parquet source wants a directory of files
+    import shutil
+
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "events.parquet")
+    return str(d)
 
 
-def test_windowed_metrics_stream(spark, sf_dir, events_schema):
+def test_windowed_metrics_stream(spark, sf_dir, events_dir):
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
-        spark.readStream.schema(events_schema)
-        .parquet(f"{sf_dir}/events.parquet")
+        spark.readStream.schema(schema)
+        .parquet(events_dir)
         .withColumn("ts", F.col("ts").cast("timestamp"))  # NTZ -> event-time
     )
     agg = windowed_metrics(stream, window="1 hour", watermark="2 hours")
