@@ -54,6 +54,7 @@ TIERS: dict[str, WebSpec] = {
     "tiny": WebSpec(n_hosts=8, pages_per_host=25, n_payloads=200, n_seeds=4),
     "small": WebSpec(n_hosts=64, pages_per_host=96, n_payloads=6000, n_seeds=16),
     "bench": WebSpec(n_hosts=512, pages_per_host=1172, n_payloads=60000, n_seeds=128),
+    "huge": WebSpec(n_hosts=2048, pages_per_host=1172, n_payloads=240000, n_seeds=512),
 }
 
 
@@ -70,37 +71,47 @@ def page_url(k: int, j: int) -> str:
 # ---------------------------------------------------------------------------
 
 
+def _payload_row(args: tuple[int, int]) -> dict:
+    i, seed = args
+    rng = np.random.default_rng(seed ^ (i * 2654435761 + 1))
+    w = _SIZES[i % 3]
+    h = _SIZES[(i // 3) % 3]
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    if i % 10 == 9:  # "jpeg" rows: lossy path — seeded noise within PSNR>=40dB
+        fmt = "jpeg"
+        noise = rng.integers(-2, 3, size=px.shape, dtype=np.int16)
+        stored = np.clip(px.astype(np.int16) + noise, 0, 255).astype(np.uint8)
+    elif i % 37 == 5:  # content-type gate fodder (F6 reject path)
+        fmt = "gif"
+        stored = px
+    else:
+        fmt = "png"
+        stored = px
+    blob = encode_rgb(stored)
+    n_words = 4 + int(rng.integers(0, 12))
+    words = [_VOCAB[int(x)] for x in rng.integers(0, 256, size=n_words)]
+    return {
+        "image_id": f"img{i:08d}",
+        "bytes": blob,
+        "w": int(w),
+        "h": int(h),
+        "fmt": fmt,
+        "caption": f"caption of img{i:08d}: " + " ".join(words),
+        "phash": dhash64(stored),
+    }
+
+
 def gen_payloads(spec: WebSpec) -> pd.DataFrame:
-    rows = []
-    for i in range(spec.n_payloads):
-        rng = np.random.default_rng(spec.seed ^ (i * 2654435761 + 1))
-        w = _SIZES[i % 3]
-        h = _SIZES[(i // 3) % 3]
-        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-        if i % 10 == 9:  # "jpeg" rows: lossy path — seeded noise within PSNR>=40dB
-            fmt = "jpeg"
-            noise = rng.integers(-2, 3, size=px.shape, dtype=np.int16)
-            stored = np.clip(px.astype(np.int16) + noise, 0, 255).astype(np.uint8)
-        elif i % 37 == 5:  # content-type gate fodder (F6 reject path)
-            fmt = "gif"
-            stored = px
-        else:
-            fmt = "png"
-            stored = px
-        blob = encode_rgb(stored)
-        n_words = 4 + int(rng.integers(0, 12))
-        words = [_VOCAB[int(x)] for x in rng.integers(0, 256, size=n_words)]
-        rows.append(
-            {
-                "image_id": f"img{i:08d}",
-                "bytes": blob,
-                "w": int(w),
-                "h": int(h),
-                "fmt": fmt,
-                "caption": f"caption of img{i:08d}: " + " ".join(words),
-                "phash": dhash64(stored),
-            }
-        )
+    """Per-index seeding keeps rows deterministic regardless of worker
+    count, so large tiers encode in parallel."""
+    args = [(i, spec.seed) for i in range(spec.n_payloads)]
+    if spec.n_payloads >= 50000:
+        from concurrent.futures import ProcessPoolExecutor
+
+        with ProcessPoolExecutor() as pool:
+            rows = list(pool.map(_payload_row, args, chunksize=2000))
+    else:
+        rows = [_payload_row(a) for a in args]
     return pd.DataFrame(rows)
 
 
@@ -117,67 +128,90 @@ def content_sha(url: str, epoch: int, stable: bool) -> str:
     return hashlib.sha224(f"{url}|{e}".encode()).hexdigest()
 
 
+def _urls_vec(hosts: np.ndarray, pages: np.ndarray) -> pd.Series:
+    """Vectorized 'http://host{k:04d}.test/page{j}' construction."""
+    h = pd.Series(hosts).astype(str).str.zfill(4)
+    return "http://host" + h + ".test/page" + pd.Series(pages).astype(str)
+
+
 def gen_link_graph(spec: WebSpec, epoch: int = 0) -> pd.DataFrame:
+    """Fully vectorized (numpy draws + pandas string ops): the huge tier
+    is 2.4M pages / ~14M outlinks, which a per-row Python loop cannot
+    generate in reasonable time."""
     rng = np.random.default_rng(spec.seed * 7 + 13)
     n_hosts, ppH = spec.n_hosts, spec.pages_per_host
+    N = n_hosts * ppH
     # Zipf-ish host popularity for cross-host links: host k weight 1/(k+1)
     weights = 1.0 / (np.arange(n_hosts) + 1.0)
     weights /= weights.sum()
 
-    rows = []
+    K = np.repeat(np.arange(n_hosts), ppH)
+    J = np.tile(np.arange(ppH), n_hosts)
+    urls = _urls_vec(K, J)
+
+    r = rng.random(N)
+    status = np.full(N, 200, dtype=np.int64)
+    status[(r >= 0.92) & (r < 0.935)] = 301
+    status[(r >= 0.935) & (r < 0.95)] = 302
+    status[(r >= 0.95) & (r < 0.97)] = 304
+    status[(r >= 0.97) & (r < 0.985)] = 404
+    status[r >= 0.985] = 500
+    loc_pages = rng.integers(0, ppH, N)
+    location = _urls_vec(K, loc_pages).where(pd.Series((status == 301) | (status == 302)), None)
+
+    # outlinks: flat draw, then regroup by parent
+    n_out = rng.integers(0, 13, N)
+    L = int(n_out.sum())
+    P = np.repeat(np.arange(N), n_out)  # parent page index per outlink
+    q = rng.random(L)
+    tgt_host = K[P].copy()
+    cross = (q >= 0.70) & (q < 0.95)
+    tgt_host[cross] = rng.choice(n_hosts, size=int(cross.sum()), p=weights)
+    tgt_page = rng.integers(0, ppH, L)
+    links = _urls_vec(tgt_host, tgt_page)
+    # weird tail: relative / protocol-relative / malformed / fragment
+    weird = q >= 0.95
+    qq = rng.random(L)
+    rel = weird & (qq < 0.4)
+    proto = weird & (qq >= 0.4) & (qq < 0.7)
+    mal = weird & (qq >= 0.7) & (qq < 0.85)
+    frag = weird & (qq >= 0.85)
+    pages_s = pd.Series(tgt_page).astype(str)
+    links[rel] = "page" + pages_s[rel]
+    proto_hosts = rng.choice(n_hosts, size=L, p=weights)
+    links[proto] = (
+        "//host" + pd.Series(proto_hosts).astype(str).str.zfill(4) + ".test/page" + pages_s
+    )[proto]
+    links[mal] = "ht!tp://mal formed"
+    links[frag] = (_urls_vec(K[P], tgt_page) + "#frag")[frag]
+    # regroup flat links into per-page lists
+    link_arr = links.to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(n_out)])
+    outlinks = [link_arr[offsets[i]:offsets[i + 1]].tolist() for i in range(N)]
+
+    stable = rng.random(N) < 0.8
+    shas = [content_sha(u, epoch, bool(s)) for u, s in zip(urls, stable)]
+    image_ids = pd.Series(rng.integers(0, spec.n_payloads, N)).astype(str).str.zfill(8)
+
+    df = pd.DataFrame(
+        {
+            "url": urls,
+            "image_id": "img" + image_ids,
+            "status": status,
+            "location": location,
+            "outlinks": outlinks,
+            "content_sha224": shas,
+        }
+    )
+
+    # sitemap pages for hosts that declare one in robots_rules: every
+    # 5th page listed (≙ XMLExtractor loc entries,
+    # /root/reference/src/extractors/ExtractorFactory.py:26-68)
+    sm_rows = []
     for k in range(n_hosts):
-        # per-host rng so tiers are stable per host
-        hrng = np.random.default_rng(spec.seed ^ (k * 1000003 + 7))
-        for j in range(ppH):
-            url = page_url(k, j)
-            r = hrng.random()
-            if r < 0.92:
-                status = 200
-            elif r < 0.95:
-                status = 301 if hrng.random() < 0.5 else 302
-            elif r < 0.97:
-                status = 304
-            else:
-                status = 404 if hrng.random() < 0.5 else 500
-            location = None
-            if status in (301, 302):
-                location = page_url(k, int(hrng.integers(0, ppH)))
-            n_out = int(hrng.integers(0, 13))
-            outlinks = []
-            for _ in range(n_out):
-                q = hrng.random()
-                if q < 0.70:  # same-host absolute
-                    outlinks.append(page_url(k, int(hrng.integers(0, ppH))))
-                elif q < 0.95:  # cross-host, Zipf-hot fan-in
-                    tgt = int(rng.choice(n_hosts, p=weights))
-                    outlinks.append(page_url(tgt, int(hrng.integers(0, ppH))))
-                else:  # relative / protocol-relative / malformed
-                    qq = hrng.random()
-                    if qq < 0.4:
-                        outlinks.append(f"page{int(hrng.integers(0, ppH))}")
-                    elif qq < 0.7:
-                        outlinks.append(f"//{host_name(int(rng.choice(n_hosts, p=weights)))}/page{int(hrng.integers(0, ppH))}")
-                    elif qq < 0.85:
-                        outlinks.append("ht!tp://mal formed")
-                    else:
-                        outlinks.append(f"http://{host_name(k)}/page{int(hrng.integers(0, ppH))}#frag")
-            stable = hrng.random() < 0.8
-            rows.append(
-                {
-                    "url": url,
-                    "image_id": f"img{int(hrng.integers(0, spec.n_payloads)):08d}",
-                    "status": int(status),
-                    "location": location,
-                    "outlinks": outlinks,
-                    "content_sha224": content_sha(url, epoch, stable),
-                }
-            )
         if k % 13 == 3:
-            # sitemap page for hosts that declare one in robots_rules:
-            # every 5th page listed (≙ XMLExtractor loc entries,
-            # /root/reference/src/extractors/ExtractorFactory.py:26-68)
             smurl = f"http://{host_name(k)}/sitemap.xml"
-            rows.append(
+            sm_rows.append(
                 {
                     "url": smurl,
                     "image_id": None,
@@ -187,7 +221,9 @@ def gen_link_graph(spec: WebSpec, epoch: int = 0) -> pd.DataFrame:
                     "content_sha224": content_sha(smurl, epoch, True),
                 }
             )
-    return pd.DataFrame(rows)
+    if sm_rows:
+        df = pd.concat([df, pd.DataFrame(sm_rows)], ignore_index=True)
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -263,6 +299,9 @@ def generate(tier: str, out_dir: str, epoch: int = 0) -> dict[str, str]:
             path,
             coerce_timestamps="us",  # Spark cannot read TIMESTAMP(NANOS)
             allow_truncated_timestamps=True,
+            # small row groups: a single-row-group file is unsplittable and
+            # serializes the whole scan stage onto one Spark task
+            row_group_size=2000 if name == "payloads" else 20000,
         )
         paths[name] = path
     return paths

@@ -26,6 +26,14 @@ from pyspark.sql import functions as F
 # scheme per RFC 3986: ALPHA *( ALPHA / DIGIT / "+" / "-" / "." )
 _SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.\-]*):"
 
+# one pass over "scheme://netloc path [?query]"; fragment handled by the
+# trailing .*.  Pure regex instead of parse_url/java.net.URI: URI
+# construction (plus exception fill-in on malformed input) costs ~10x a
+# regex match, and the crawl canonicalizes millions of outlinks per
+# round.  Netloc semantics ([^/?#]+) exactly match the pure-Python
+# fixture model in model.py.
+_URL_PAT = r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://([^/?#]+)([^?#]*)(?:\?([^#]*))?.*$"
+
 
 def scheme_of(url: Column) -> Column:
     """Lowercased scheme, or NULL if the URL has none (relative)."""
@@ -34,20 +42,21 @@ def scheme_of(url: Column) -> Column:
 
 
 def host_of(url: Column) -> Column:
-    """Lowercased netloc (host[:port]) or NULL. Native try_parse_url
-    (NULL on malformed input instead of ANSI error)."""
-    return F.lower(F.try_parse_url(url, F.lit("HOST")))
+    """Lowercased netloc or NULL on malformed input."""
+    h = F.regexp_extract(url, _URL_PAT, 2)
+    return F.when(h != "", F.lower(h))
 
 
 def path_of(url: Column) -> Column:
     """Path with ``;params`` and fragment dropped; '' -> '/'."""
-    p = F.try_parse_url(url, F.lit("PATH"))
+    p = F.regexp_extract(url, _URL_PAT, 3)
     p = F.regexp_replace(p, ";.*$", "")  # drop params (src/Task.py:72 unused downstream)
-    return F.when(p.isNull() | (p == ""), F.lit("/")).otherwise(p)
+    return F.when(p == "", F.lit("/")).otherwise(p)
 
 
 def query_of(url: Column) -> Column:
-    return F.try_parse_url(url, F.lit("QUERY"))
+    q = F.regexp_extract(url, _URL_PAT, 4)
+    return F.when(q != "", q)
 
 
 def canonicalize(url: Column) -> Column:
@@ -70,8 +79,8 @@ def canonicalize(url: Column) -> Column:
         path_of(u),
         F.when(q.isNotNull() & (q != ""), F.concat(F.lit("?"), q)).otherwise(F.lit("")),
     )
-    # inner whitespace is always invalid (java.net.URI would reject it;
-    # making the rule explicit keeps the pure-Python fixture model exact)
+    # inner whitespace is always invalid (the rule is explicit so the
+    # pure-Python fixture model stays exact)
     return F.when(
         ~u.rlike(r"\s") & sch.isNotNull() & hst.isNotNull() & (hst != ""), rebuilt
     )

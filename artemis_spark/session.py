@@ -56,6 +56,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("ARTEMIS_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # split scans finer than the 128MB default: sandbox inputs are
+        # tens of MB and a single split serializes the whole first stage
+        # (scan+explode+canonicalize fuse into it).  On a 100TB cluster
+        # raise this back toward 128-256MB via extra_conf.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("ARTEMIS_MAX_PARTITION_BYTES", str(4 * 1024 * 1024)),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
