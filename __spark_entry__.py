@@ -294,6 +294,87 @@ def q_sessionize(spark, sf_dir):
     )
 
 
+def q_join_agg_topn(spark, sf_dir):
+    """TPC-H-Q3-shape join pipeline: 3-way join, filter, group, top-N —
+    the general OLAP capability check (broadcast dims, integer cents)."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+            ).alias("revenue_scaled")
+        )
+    )
+    w = Window.orderBy(F.desc("revenue_scaled"), F.asc("l_orderkey"))
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("rank", "l_orderkey", "revenue_scaled")
+    )
+
+
+def q_rollup_agg(spark, sf_dir):
+    """ROLLUP hierarchy aggregation (nation -> customer segment)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    j = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+    return (
+        j.rollup("n_name", "c_mktsegment")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.sum(_cents(F.col("c_acctbal"))).alias("bal_cents"),
+        )
+        .select(
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            F.coalesce(F.col("c_mktsegment"), F.lit("ALL")).alias("segment"),
+            "n_cust",
+            "bal_cents",
+        )
+    )
+
+
+def q_pivot_status(spark, sf_dir):
+    """Pivot (conditional aggregation form — identical in ANSI SQL):
+    order counts per priority pivoted by status."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_f"),
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_o"),
+        F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_p"),
+    )
+
+
+def q_set_ops(spark, sf_dir):
+    """Set operators: union/intersect/except of key sets (the task-stream
+    union shape, SURVEY.md §2.7)."""
+    a = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("k")
+    )
+    b = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("k")
+    )
+    return (
+        a.intersect(b).withColumn("tag", F.lit("both"))
+        .unionByName(a.distinct().exceptAll(b.distinct()).withColumn("tag", F.lit("f_only")))
+    )
+
+
+def q_exists_semi_join(spark, sf_dir):
+    """EXISTS as left-semi join (the robots/accreditation probe shape)."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45)
+    return s.join(
+        li, s["s_suppkey"] == li["l_suppkey"], "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
 def q_exact_dedup_docs(spark, sf_dir):
     """Exact dedup: min doc per (lang, source) group."""
     d = _t(spark, sf_dir, "documents")
@@ -371,6 +452,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_stats_agg": q_host_stats_agg,
         "events_window_agg": q_events_window_agg,
         "sessionize": q_sessionize,
+        "join_agg_topn": q_join_agg_topn,
+        "rollup_agg": q_rollup_agg,
+        "pivot_status": q_pivot_status,
+        "set_ops": q_set_ops,
+        "exists_semi_join": q_exists_semi_join,
         "exact_dedup_docs": q_exact_dedup_docs,
         "fingerprint_docs": q_fingerprint_docs,
         "token_quality": q_token_quality,
@@ -583,6 +669,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_id, count(*) AS n_events,
                    floor(min(epoch(ts)))::BIGINT AS start_epoch
             FROM s GROUP BY user_id, session_id""",
+        "join_agg_topn": """
+            WITH j AS (
+              SELECT l_orderkey,
+                     sum(round(l_extendedprice * 100)::BIGINT
+                         * (100 - round(l_discount * 100)::BIGINT)) AS revenue_scaled
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              WHERE c_mktsegment = 'BUILDING'
+                AND o_orderdate < TIMESTAMP '1995-03-15'
+              GROUP BY l_orderkey)
+            SELECT rank, l_orderkey, revenue_scaled FROM (
+              SELECT l_orderkey, revenue_scaled,
+                     row_number() OVER (ORDER BY revenue_scaled DESC,
+                                        l_orderkey ASC) AS rank
+              FROM j) WHERE rank <= 10""",
+        "rollup_agg": """
+            SELECT coalesce(n_name, 'ALL') AS nation,
+                   coalesce(c_mktsegment, 'ALL') AS segment,
+                   count(*) AS n_cust,
+                   sum(round(c_acctbal * 100)::BIGINT) AS bal_cents
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY ROLLUP (n_name, c_mktsegment)""",
+        "pivot_status": """
+            SELECT o_orderpriority,
+                   count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+                   count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+                   count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+            FROM orders GROUP BY o_orderpriority""",
+        "set_ops": """
+            WITH a AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'),
+                 b AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O')
+            SELECT k, 'both' AS tag FROM (SELECT DISTINCT k FROM a INTERSECT SELECT DISTINCT k FROM b)
+            UNION ALL
+            SELECT k, 'f_only' AS tag FROM (SELECT DISTINCT k FROM a EXCEPT SELECT DISTINCT k FROM b)""",
+        "exists_semi_join": """
+            SELECT s_suppkey, s_name FROM supplier s
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 45)""",
         "exact_dedup_docs": """
             SELECT lang, source, min(doc_id) AS doc_id
             FROM documents GROUP BY lang, source""",
