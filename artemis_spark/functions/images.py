@@ -32,12 +32,28 @@ def to_gray(pixels: np.ndarray) -> np.ndarray:
     return 0.299 * p[..., 0] + 0.587 * p[..., 1] + 0.114 * p[..., 2]
 
 
+def _split_offsets(n: int, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """np.array_split boundary offsets + block sizes for n items in k blocks."""
+    sizes = np.full(k, n // k, dtype=np.int64)
+    sizes[: n % k] += 1
+    offsets = np.zeros(k, dtype=np.int64)
+    np.cumsum(sizes[:-1], out=offsets[1:])
+    return offsets, sizes
+
+
 def _block_mean(gray: np.ndarray, rows: int, cols: int) -> np.ndarray:
-    """Deterministic area-mean resize to (rows, cols)."""
-    return np.array(
-        [[blk.mean() for blk in np.array_split(rband, cols, axis=1)]
-         for rband in np.array_split(gray, rows, axis=0)]
-    )
+    """Deterministic area-mean resize to (rows, cols).
+
+    Vectorized via np.add.reduceat over the array_split boundaries —
+    identical block geometry to the naive per-block .mean() loop (the
+    summation order differs only in float64 ulps, far below the >
+    comparison granularity of dhash on uint8-derived luma).
+    """
+    h, w = gray.shape
+    roff, rsz = _split_offsets(h, rows)
+    coff, csz = _split_offsets(w, cols)
+    s = np.add.reduceat(np.add.reduceat(gray, roff, axis=0), coff, axis=1)
+    return s / np.outer(rsz, csz)
 
 
 def dhash64(pixels: np.ndarray) -> int:
@@ -45,9 +61,7 @@ def dhash64(pixels: np.ndarray) -> int:
     packed row-major, returned as a signed int64 (column type long)."""
     g = _block_mean(to_gray(pixels), 8, 9)
     bits = (g[:, 1:] > g[:, :-1]).flatten()
-    v = 0
-    for b in bits:
-        v = (v << 1) | int(b)
+    v = int.from_bytes(np.packbits(bits).tobytes(), "big")
     return v - (1 << 64) if v >= (1 << 63) else v
 
 

@@ -64,13 +64,21 @@ def validate_against_seen(
     refresh_rate, was_seen.
     """
     seen = url_seen.select(
+        F.col("host").alias("s_host"),
         F.col("url").alias("s_url"),
         F.col("last_visited").alias("s_last_visited"),
         F.col("last_controlled").alias("s_last_controlled"),
         F.col("last_hash").alias("s_last_hash"),
         F.col("refresh_rate").alias("s_refresh_rate"),
     )
-    j = maybe_seen.join(seen, maybe_seen["url"] == seen["s_url"], "left")
+    # (host, url) keys: host is derived from url, so the extra equality is
+    # a no-op semantically but lets the join reuse the wave's hash(host)
+    # partitioning — only the state side exchanges, and only by host.
+    j = maybe_seen.join(
+        seen,
+        (maybe_seen["host"] == seen["s_host"]) & (maybe_seen["url"] == seen["s_url"]),
+        "left",
+    )
     # is_alive: now - last_controlled < refresh_rate * delay  (in rounds)
     age_rounds = (
         F.lit(current_round)

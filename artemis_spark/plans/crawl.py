@@ -48,7 +48,7 @@ from ..operators.politeness import politeness_topk, with_score
 from ..operators.robots import apply_robots, sitemap_candidates
 from ..rounds import round_ts
 from ..schemas import MAX_REFRESH_RATE, URL_SEEN_SCHEMA
-from ..sources.fetch import attach_payloads, synthetic_fetch
+from ..sources.fetch import build_web, synthetic_fetch
 from ..sources.state import StateStore
 from .. import schemas as S
 
@@ -90,6 +90,7 @@ class CrawlConfig:
     # synthetic join path leaves it 0 (the join partitions by url).
     fetch_salt: int = 0
     cache_web: bool = True  # cache link_graph/payloads partitioned on join keys
+    light_stats: bool = False  # skip info-only frontier-size count (bench mode)
 
 
 class CrawlEngine:
@@ -108,14 +109,13 @@ class CrawlEngine:
         self.store = StateStore(spark, state_dir)
         self.link_graph = spark.read.parquet(f"{web_dir}/link_graph.parquet")
         self.payloads = spark.read.parquet(f"{web_dir}/payloads.parquet")
+        # The synthetic web = link_graph + payload bytes, joined ONCE and
+        # kept hash-partitioned by host (see build_web): per-round fetch
+        # joins are then co-partitioned and exchange-free.  On a cluster
+        # the same effect comes from Iceberg bucketed tables.
+        self.web = build_web(self.link_graph, self.payloads, self.cfg.num_partitions)
         if self.cfg.cache_web:
-            # pre-partition the static web tables on their join keys once;
-            # the cached partitioning is visible to Catalyst, so per-round
-            # fetch joins only exchange the (much smaller) wave side.
-            # Iceberg/bucketed tables give the same effect on a cluster.
-            P = self.cfg.num_partitions
-            self.link_graph = self.link_graph.repartition(P, "url").persist()
-            self.payloads = self.payloads.repartition(P, "image_id").persist()
+            self.web = self.web.persist()
         self.robots = spark.read.parquet(f"{web_dir}/robots_rules.parquet")
         self.domain_rules = spark.read.parquet(f"{web_dir}/domain_rules.parquet")
         self.seeds = spark.read.parquet(self.seeds_path)
@@ -167,7 +167,24 @@ class CrawlEngine:
         t_start = time.monotonic()
         shard = lambda c: host_partition_key(c, cfg.num_partitions)
 
-        candidates = self.store.read("frontier", CANDIDATES_SCHEMA)
+        import os as _os
+        _timing = bool(int(_os.environ.get("ARTEMIS_ROUND_TIMING", "0")))
+        _phases: dict[str, float] = {}
+        _last = [t_start]
+
+        def _mark(name: str) -> None:
+            if _timing:
+                t = time.monotonic()
+                _phases[name] = round(t - _last[0], 2)
+                _last[0] = t
+
+        # THE routing shuffle (reference P2, /root/reference/src/Slave.py:145-172):
+        # one hash exchange by host up front; every downstream join/window/
+        # groupBy on the wave path keys by (host, ...) so Catalyst reuses
+        # this partitioning and plans the rest of the round exchange-free.
+        candidates = self.store.read("frontier", CANDIDATES_SCHEMA).repartition(
+            cfg.num_partitions, "host"
+        )
 
         # F2 protocol rules + nature gating (tor/torrent unfetchable in-sandbox)
         candidates = candidates.filter(
@@ -180,6 +197,7 @@ class CrawlEngine:
 
         candidates = dedupe_within_batch(candidates).cache()
         n_in = candidates.count()
+        _mark('candidates_count')
         if n_in == 0:
             self._commit_empty(r, t_start)
             return {"round": r, "scheduled": 0, "fetched": 0, "new_candidates": 0}
@@ -206,11 +224,17 @@ class CrawlEngine:
         deferred = deferred.cache()
         robots_blocked = robots_blocked.cache()
 
-        # S2/S3 fetch wave
-        fetched = synthetic_fetch(
-            scheduled, self.link_graph, cfg.num_partitions, cfg.fetch_salt
-        )
-        fetched = attach_payloads(fetched, self.payloads)
+        # S2/S3 fetch wave: co-partitioned join against the cached web.
+        # (cfg.fetch_salt shapes a real-HTTP wave; the synthetic join path
+        # keeps host partitioning so the join needs no exchange at all.)
+        wave = scheduled
+        if cfg.fetch_salt > 0:
+            from ..functions.urls import salted_host
+
+            wave = wave.repartition(
+                cfg.num_partitions, salted_host(F.col("host"), F.col("url"), cfg.fetch_salt)
+            )
+        fetched = synthetic_fetch(wave, self.web)
 
         # F7 unchanged-content short-circuit (304 or same sha224)
         unchanged = (F.col("status") == 304) | (
@@ -364,10 +388,10 @@ class CrawlEngine:
         # controlled this round have fresh last_controlled = now).
         seen_cols = [f.name for f in URL_SEEN_SCHEMA.fields]
         merged_state = (
-            url_seen.join(seen_updates.select("url"), "url", "left_anti")
+            url_seen.join(seen_updates.select("host", "url"), ["host", "url"], "left_anti")
             .select(*seen_cols)
             .unionByName(seen_updates.select(*seen_cols))
-        )
+        ).cache()  # one compute feeds both the url_seen MERGE write and recrawl_due
         recrawl_due = (
             merged_state
             .filter(
@@ -387,10 +411,10 @@ class CrawlEngine:
         )
         next_frontier = next_frontier.unionByName(recrawl_due).select(*CANDIDATE_COLS).cache()
 
-        # ----- lineage / metrics (A3/A4/A6) per host-shard
-        n_sched = scheduled.count()
-        n_blocked = robots_blocked.count()
-        n_fetched = n_sched  # every scheduled URL gets a fetch result row
+        # ----- lineage / metrics (A3/A4/A6) per host-shard.
+        # Round totals (scheduled/fetched/blocked) are summed from this
+        # per-partition lineage table after the persist fan-out instead of
+        # running separate count() jobs over the same cached data.
         per_part = (
             fetched.groupBy(shard(F.col("host")).alias("partition_id"))
             .agg(F.count("*").alias("urls_fetched"))
@@ -401,11 +425,15 @@ class CrawlEngine:
         sched_per_part = scheduled.groupBy(shard(F.col("host")).alias("partition_id")).agg(
             F.count("*").alias("urls_scheduled")
         )
+        blocked_per_part = robots_blocked.groupBy(
+            shard(F.col("host")).alias("partition_id")
+        ).agg(F.count("*").alias("urls_robots_blocked"))
         wall_ms = int((time.monotonic() - t_start) * 1000)
         snapshot = json.dumps(self.store.manifest()["tables"], sort_keys=True)
         lineage = (
             cand_per_part.join(sched_per_part, "partition_id", "full")
             .join(per_part, "partition_id", "full")
+            .join(blocked_per_part, "partition_id", "full")
             .select(
                 F.lit(r).alias("round"),
                 F.col("partition_id").cast("int"),
@@ -413,10 +441,11 @@ class CrawlEngine:
                 (F.coalesce(F.col("urls_in"), F.lit(0)) - F.coalesce(F.col("urls_scheduled"), F.lit(0))).alias("urls_deduped"),
                 F.coalesce(F.col("urls_scheduled"), F.lit(0)).alias("urls_scheduled"),
                 F.coalesce(F.col("urls_fetched"), F.lit(0)).alias("urls_fetched"),
+                F.coalesce(F.col("urls_robots_blocked"), F.lit(0)).alias("urls_robots_blocked"),
                 F.lit(wall_ms).alias("wall_ms"),
                 F.lit(snapshot).alias("input_snapshot"),
             )
-        )
+        ).cache()
 
         # ----- persist + atomic commit.
         # The six persists are data-independent (they share only cached
@@ -427,6 +456,7 @@ class CrawlEngine:
 
         # materialize the shared cache once before fan-out
         seen_updates.count()
+        _mark('seen_updates_count')
 
         def _crawl_log():
             self.store.append_round("crawl_log", crawl_log, r)
@@ -435,7 +465,9 @@ class CrawlEngine:
             self.store.append_round("lineage_metrics", lineage, r)
 
         def _merge():
-            return self.store.merge_upsert("url_seen", seen_updates, "url", URL_SEEN_SCHEMA)
+            # MERGE INTO emulation: the merged state is already built (and
+            # cached) above; write it as the next url_seen version.
+            return self.store.write_version("url_seen", merged_state)
 
         def _stats():
             return self.store.write_version("host_stats", merged_stats)
@@ -461,8 +493,16 @@ class CrawlEngine:
             f_lin.result()
             uv, hv, fv, bv = f_uv.result(), f_hv.result(), f_fv.result(), f_bv.result()
         self.store.commit(r, {"url_seen": uv, "host_stats": hv, "frontier": fv, "bloom": bv})
+        _mark('persist_fanout')
 
-        n_next = next_frontier.count()
+        totals = lineage.groupBy().agg(
+            F.sum("urls_scheduled").alias("s"),
+            F.sum("urls_fetched").alias("f"),
+            F.sum("urls_robots_blocked").alias("b"),
+        ).collect()[0]
+        n_sched, n_fetched, n_blocked = int(totals["s"] or 0), int(totals["f"] or 0), int(totals["b"] or 0)
+        n_next = -1 if cfg.light_stats else next_frontier.count()
+        _mark('n_next_count')
         for df in (
             candidates,
             scheduled,
@@ -472,8 +512,12 @@ class CrawlEngine:
             extracted_with_depth,
             seen_updates,
             next_frontier,
+            merged_state,
+            lineage,
         ):
             df.unpersist()
+        if _timing:
+            print(f"ROUND_TIMING r={r} " + json.dumps(_phases))
         return {
             "round": r,
             "candidates": n_in,

@@ -116,6 +116,7 @@ LINEAGE_METRICS_SCHEMA = T.StructType(
         T.StructField("urls_deduped", T.LongType(), True),
         T.StructField("urls_scheduled", T.LongType(), True),
         T.StructField("urls_fetched", T.LongType(), True),
+        T.StructField("urls_robots_blocked", T.LongType(), True),
         T.StructField("wall_ms", T.LongType(), True),
         T.StructField("input_snapshot", T.StringType(), True),
     ]

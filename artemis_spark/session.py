@@ -50,6 +50,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # The crawl loop keys every join/window/groupBy by (host, ...) and
+        # keeps both sides hash(host)-partitioned; allow Catalyst to treat
+        # subset-key partitionings as co-partitioned so those joins plan
+        # with zero exchange (the Phi host-major colocation invariant).
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

@@ -39,40 +39,22 @@ FETCH_RESULT_COLS = [
 ]
 
 
-def synthetic_fetch(
-    wave: DataFrame,
-    link_graph: DataFrame,
-    num_partitions: int,
-    salt: int = 0,
+def build_web(
+    link_graph: DataFrame, payloads: DataFrame, num_partitions: int
 ) -> DataFrame:
-    """Join the scheduled wave against the synthetic web.
+    """Pre-join the synthetic web once per run: link_graph rows carry
+    their payload bytes, hash-partitioned by host.
 
-    URLs absent from link_graph come back status=404 (dead link), the
-    same observable as a live 404 (/root/reference/src/handlers/HTTPDefaultHandler.py:46-49).
-
-    ``salt > 0`` first repartitions the wave by salted host — the shape
-    a *real* per-host HTTP fetcher needs (connection reuse + skew
-    spreading, north_rule).  For the synthetic join path the default is
-    salt=0: the join itself partitions by url, and an up-front host
-    repartition would just add a full extra shuffle per round.  Pass the
-    link_graph pre-partitioned by url (see CrawlEngine) and only the
-    wave side exchanges.
+    A real fetch returns page bytes *with* the HTTP response — there is
+    no separate "payload lookup" on a live crawl — so the faithful
+    synthetic shape is one static table, built once, cached partitioned
+    on the same host key as the wave.  Every per-round fetch join is
+    then exchange-free on both sides (the Phi host-major colocation
+    invariant, /root/reference/src/Netarea.py:7-11, as a Spark
+    co-partitioned join).
     """
-    if salt > 0:
-        wave = wave.repartition(
-            num_partitions, salted_host(F.col("host"), F.col("url"), salt)
-        )
-    lg = link_graph.select(
-        F.col("url").alias("g_url"),
-        *[F.col(c) for c in FETCH_RESULT_COLS],
-    )
-    j = wave.join(lg, wave["url"] == lg["g_url"], "left").drop("g_url")
-    return j.withColumn("status", F.coalesce(F.col("status"), F.lit(404)))
+    from ..functions.urls import host_of
 
-
-def attach_payloads(fetched: DataFrame, payloads: DataFrame) -> DataFrame:
-    """Join page content for 200s; non-200 rows pass through with NULL
-    payload columns (no content to decode)."""
     p = payloads.select(
         F.col("image_id").alias("p_image_id"),
         F.col("bytes"),
@@ -82,11 +64,39 @@ def attach_payloads(fetched: DataFrame, payloads: DataFrame) -> DataFrame:
         F.col("w").alias("expected_w"),
         F.col("h").alias("expected_h"),
     )
-    return fetched.join(
-        p,
-        (fetched["status"] == 200) & (fetched["image_id"] == p["p_image_id"]),
-        "left",
+    lg = link_graph.select(
+        host_of(F.col("url")).alias("g_host"),
+        F.col("url").alias("g_url"),
+        *[F.col(c) for c in FETCH_RESULT_COLS],
+    )
+    web = lg.join(
+        p, (lg["status"] == 200) & (lg["image_id"] == p["p_image_id"]), "left"
     ).drop("p_image_id")
+    # partition by host (co-located with the wave) and pre-sort by the
+    # join keys: the cached ordering satisfies every round's sort-merge
+    # join, so the heavy (bytes-carrying) side is never sorted again.
+    return web.repartition(num_partitions, "g_host").sortWithinPartitions(
+        "g_host", "g_url"
+    )
+
+
+def synthetic_fetch(wave: DataFrame, web: DataFrame) -> DataFrame:
+    """Join the scheduled wave against the pre-built synthetic web.
+
+    URLs absent from the web come back status=404 (dead link), the same
+    observable as a live 404 (/root/reference/src/handlers/HTTPDefaultHandler.py:46-49).
+
+    The join keys are (host, url) — host is derivable from url, so the
+    extra key changes nothing semantically, but it lets Catalyst prove
+    the wave's hash(host) partitioning co-locates with the cached web's
+    and plan the join with ZERO exchange on either side.
+    """
+    j = wave.join(
+        web,
+        (wave["host"] == web["g_host"]) & (wave["url"] == web["g_url"]),
+        "left",
+    ).drop("g_host", "g_url")
+    return j.withColumn("status", F.coalesce(F.col("status"), F.lit(404)))
 
 
 def http_fetch_stub(wave: DataFrame) -> DataFrame:

@@ -82,6 +82,7 @@ def bench_crawl(spark, tier: str, rounds: int, budget: int) -> dict:
         politeness_budget=budget,
         num_partitions=cpus,
         bloom_shards=cpus * 2,
+        light_stats=True,
     )
     eng = CrawlEngine(spark, web_dir, state_dir, cfg, seeds_path=seeds_path)
     t0 = time.monotonic()
