@@ -29,6 +29,9 @@ from ..rounds import ROUND_SECONDS
 from ..schemas import MAX_REFRESH_RATE
 
 
+_NATURES = ["web_static", "web_static_sitemap", "web_static_tor", "web_static_torrent"]
+
+
 def dedupe_within_batch(candidates: DataFrame) -> DataFrame:
     """Collapse duplicate candidate URLs inside one round's batch.
 
@@ -36,11 +39,24 @@ def dedupe_within_batch(candidates: DataFrame) -> DataFrame:
     the reference gets this for free because tasksMap upsert is
     last-writer-wins within a shard — here it must be explicit since a
     URL can arrive from many extractor partitions in one round.
+
+    The nature column is aggregated as a small int code (same ordering
+    as the string min) so every agg buffer is fixed-width numeric and
+    Catalyst plans a codegen HashAggregate — min(string) would fall back
+    to SortAggregate and sort the whole multi-million-row batch.
     """
-    return candidates.groupBy("url", "host").agg(
-        F.min("depth").alias("depth"),
-        F.min("nature").alias("nature"),
-        F.min("round_added").alias("round_added"),
+    code = F.array_position(F.array(*[F.lit(n) for n in _NATURES]), F.col("nature"))
+    decode = F.array(*[F.lit(n) for n in _NATURES])
+    return (
+        candidates.withColumn("_nat", code)
+        .groupBy("url", "host")
+        .agg(
+            F.min("depth").alias("depth"),
+            F.min("_nat").alias("_nat"),
+            F.min("round_added").alias("round_added"),
+        )
+        .withColumn("nature", F.try_element_at(decode, F.col("_nat").cast("int")))
+        .drop("_nat")
     )
 
 

@@ -143,9 +143,16 @@ class CrawlEngine:
             F.col("depth").cast("int").alias("depth"),
             # explicit cast: an all-null seeds.nature column type-infers as
             # non-string in parquet and coalesce would fail under ANSI
-            F.coalesce(
-                F.col("nature").cast("string"), classify_nature(F.col("url"))
-            ).alias("nature"),
+            # normalize: any unknown/missing nature is re-derived from the
+            # URL so downstream code can assume the closed enum
+            # (/root/reference/src/Task.py:16-20)
+            F.when(
+                F.col("nature").cast("string").isin(
+                    "web_static", "web_static_sitemap",
+                    "web_static_tor", "web_static_torrent",
+                ),
+                F.col("nature").cast("string"),
+            ).otherwise(classify_nature(F.col("url"))).alias("nature"),
             F.lit(0).alias("round_added"),
         ).filter(F.col("url").isNotNull())
         seeds = seeds.withColumn("host", host_of(F.col("url"))).select(*CANDIDATE_COLS)
@@ -294,12 +301,17 @@ class CrawlEngine:
         # parent depth is carried through the explode (join-free)
         redirects = (
             fetched.filter(F.col("status").isin(301, 302, 307, 308) & F.col("location").isNotNull())
-            .select(
-                canonicalize(resolve_url(F.col("url"), F.col("location"))).alias("url"),
-                F.col("depth"),
-            )
+            .select("depth", resolve_url(F.col("url"), F.col("location")).alias("_abs"))
+            .select("depth", canonicalize(F.col("_abs")).alias("url"))
             .filter(F.col("url").isNotNull())
         )
+        # Staged projections on purpose: resolve_url and canonicalize each
+        # reference their input many times, so fusing them into one Project
+        # duplicates every regex ~5x and blows the whole-stage-codegen
+        # method limit (Spark then falls back to interpreted eval on the
+        # hottest path of the round).  Materializing `_abs` as a column
+        # keeps each regex evaluated once per row; CollapseProject leaves
+        # multi-referenced non-trivial aliases alone.
         extracted_with_depth = (
             fetched.filter(F.col("extractable"))
             .select(
@@ -307,10 +319,8 @@ class CrawlEngine:
                 (F.col("depth") + 1).alias("depth"),
                 F.explode_outer("outlinks").alias("raw"),
             )
-            .select(
-                canonicalize(resolve_url(F.col("parent"), F.col("raw"))).alias("url"),
-                "depth",
-            )
+            .select("depth", resolve_url(F.col("parent"), F.col("raw")).alias("_abs"))
+            .select("depth", canonicalize(F.col("_abs")).alias("url"))
             .filter(F.col("url").isNotNull())
             .withColumn("host", host_of(F.col("url")))
             .cache()
@@ -409,7 +419,20 @@ class CrawlEngine:
             )
             .select("url", "host", "depth", "nature", F.lit(r + 1).alias("round_added"))
         )
-        next_frontier = next_frontier.unionByName(recrawl_due).select(*CANDIDATE_COLS).cache()
+        # Dedupe before writing: extraction emits the same URL from many
+        # parents (3-4x write amplification otherwise).  Order matters for
+        # skew: the raw extracted stream is zipf-heavy on popular TARGET
+        # hosts, so dedupe first on the uniform (url, host) hash, then
+        # repartition the (per-host-bounded) unique rows by host so the
+        # written frontier is host-grouped for the next round.
+        next_frontier = (
+            dedupe_within_batch(
+                next_frontier.unionByName(recrawl_due).select(*CANDIDATE_COLS)
+            )
+            .select(*CANDIDATE_COLS)
+            .repartition(cfg.num_partitions, "host")
+            .cache()
+        )
 
         # ----- lineage / metrics (A3/A4/A6) per host-shard.
         # Round totals (scheduled/fetched/blocked) are summed from this

@@ -55,10 +55,18 @@ def get_spark(
         # subset-key partitionings as co-partitioned so those joins plan
         # with zero exchange (the Phi host-major colocation invariant).
         .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+        # URL expressions are wide (regex CASE chains); keep them inside
+        # whole-stage codegen instead of silently falling back to
+        # interpreted eval when a generated method passes 8KB
+        .config("spark.sql.codegen.hugeMethodLimit", "65535")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("ARTEMIS_DRIVER_MEM", "8g"))
+        # shuffle/spill scratch space; benches point this at tmpfs so the
+        # single sandbox disk doesn't masquerade as a scaling ceiling (a
+        # real cluster's shuffle bandwidth scales with executor count)
+        .config("spark.local.dir", os.environ.get("ARTEMIS_LOCAL_DIR", "/tmp"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # split scans finer than the 128MB default: sandbox inputs are

@@ -31,6 +31,10 @@ def run_at(cpus: int, tier: str, rounds: int, budget: int) -> dict:
         ARTEMIS_BENCH_ROUNDS=str(rounds),
         ARTEMIS_BENCH_BUDGET=str(budget),
     )
+    env.setdefault("ARTEMIS_DRIVER_MEM", "48g")
+    if os.path.isdir("/dev/shm"):
+        os.makedirs("/dev/shm/spark-local", exist_ok=True)
+        env.setdefault("ARTEMIS_LOCAL_DIR", "/dev/shm/spark-local")
     out = subprocess.run(
         [sys.executable, os.path.join(HERE, "bench.py"), "--crawl-only"],
         env=env,
