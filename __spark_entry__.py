@@ -42,7 +42,11 @@ from artemis_spark.operators.dedup_text import (
     word_shingles,
 )
 from artemis_spark.operators.robots import apply_robots
-from artemis_spark.operators.similarity import brute_force_topk, bucketed_ann_topk
+from artemis_spark.operators.similarity import (
+    brute_force_topk,
+    bucketed_ann_topk,
+    embedding_near_dup_pairs,
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -437,6 +441,63 @@ def q_ann_bucketed(spark, sf_dir):
     return bucketed_ann_topk(emb, q, k=3, d=3).select("query_id", "rank", "neighbor_id")
 
 
+def q_crawl_round_tiny(spark, sf_dir):
+    """Flagship end-to-end: two crawl rounds over the deterministic tiny
+    synthetic web (seeds -> dedup -> politeness -> robots -> synthetic
+    fetch -> decode -> extract -> MERGE state), returning the crawl log.
+    Non-SQL-expressible (iterative + stateful): rows-only driver check;
+    full fixture equality vs the pure-Python reference model is asserted
+    in tests/test_crawl_e2e.py."""
+    import os
+    import shutil
+    import tempfile
+
+    from artemis_spark.datagen import generate
+    from artemis_spark.plans.crawl import CrawlConfig, CrawlEngine
+
+    web = os.path.join(tempfile.gettempdir(), "artemis_query_web_tiny")
+    if not os.path.exists(os.path.join(web, "_DONE")):
+        generate("tiny", web)
+        open(os.path.join(web, "_DONE"), "w").close()
+    state = tempfile.mkdtemp(prefix="artemis_query_state_")
+    shutil.rmtree(state, ignore_errors=True)
+    eng = CrawlEngine(
+        spark, web, state,
+        CrawlConfig(politeness_budget=5, num_partitions=8, bloom_shards=8),
+    )
+    eng.run(2)
+    log = eng.store.read_appended("crawl_log")
+    return log.select("round", "url", "host", "status", "image_id", "phash")
+
+
+def q_multimodal_decode(spark, sf_dir):
+    """Multimodal binary-column plumbing: deterministic PNG payloads are
+    built from seeded pixels, then decoded + phashed via the Arrow
+    mapInPandas stage (operators/multimodal.py).  Rows-only check (pixel
+    hashing is not SQL-expressible); codec round-trip equality is
+    asserted in tests/test_multimodal.py."""
+    import numpy as np
+    import pandas as pd
+
+    from artemis_spark.functions.png import encode_rgb
+    from artemis_spark.operators.multimodal import decode_stats
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(64):
+        px = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+        rows.append({"image_id": f"q{i:03d}", "bytes": encode_rgb(px), "fmt": "png"})
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    return decode_stats(df).select("image_id", "w", "h", "ok", "phash")
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: sign-LSH bucket candidates +
+    exact cosine >= 0.400 (integer-milli comparison)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, d=3, threshold_milli=400)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "url_canonicalize": q_url_canonicalize,
@@ -463,6 +524,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_docs": q_simhash_docs,
+        "embedding_near_dup": q_embedding_near_dup,
+        "crawl_round_tiny": q_crawl_round_tiny,
+        "multimodal_decode": q_multimodal_decode,
         "ann_brute_topk": q_ann_brute_topk,
         "ann_bucketed": q_ann_bucketed,
     }
@@ -731,6 +795,16 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": _jaccard_sql(1, 4),
         "minhash_lsh_pairs": _minhash_oracle_sql(8, 4, 1, 5),
         "simhash_docs": _simhash_oracle_sql(),
+        "embedding_near_dup": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                         (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+                       + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+                       + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) AS bucket
+                       FROM embeddings)
+            SELECT a.vec_id AS vec1, b.vec_id AS vec2,
+                   round(list_cosine_similarity(a.v, b.v) * 1000)::BIGINT AS cos_milli
+            FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.v, b.v) * 1000)::BIGINT >= 400""",
         "ann_brute_topk": f"""
             WITH {_ANN_CTE}
             SELECT query_id, rank, neighbor_id FROM (

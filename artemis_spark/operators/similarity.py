@@ -126,3 +126,44 @@ def bucketed_ann_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cos_sim")
     )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    d: int = 3,
+    threshold_milli: int = 400,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the vector-space member of
+    the dedup family (exact / minhash / simhash / n-gram live in
+    dedup_text.py).
+
+    Candidate generation is the sign-bucket equi-join (same LSH-plane
+    quantizer as bucketed_ann_topk) so the all-pairs cross join never
+    happens; survivors are verified with exact cosine.  The threshold
+    compares round(cos*1000) as an integer so the engine and the DuckDB
+    oracle agree bit-for-bit.  Output: (vec1, vec2, cos_milli).
+    """
+    a = embeddings.select(
+        F.col(id_col).alias("vec1"),
+        F.col(vec_col).alias("a_vec"),
+        sign_bucket(F.col(vec_col), d).alias("bucket"),
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("vec2"),
+        F.col(vec_col).alias("b_vec"),
+        sign_bucket(F.col(vec_col), d).alias("bucket"),
+    )
+    pairs = a.join(b, ["bucket"]).where(F.col("vec1") < F.col("vec2"))
+    cos_milli = F.round(
+        cosine_expr(
+            F.col("a_vec").cast("array<double>"), F.col("b_vec").cast("array<double>")
+        )
+        * 1000
+    ).cast("long")
+    return (
+        pairs.withColumn("cos_milli", cos_milli)
+        .where(F.col("cos_milli") >= threshold_milli)
+        .select("vec1", "vec2", "cos_milli")
+    )
