@@ -148,10 +148,19 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
-    tier = os.environ.get("ARTEMIS_BENCH_TIER", "small")
-    rounds = int(os.environ.get("ARTEMIS_BENCH_ROUNDS", "4"))
-    budget = int(os.environ.get("ARTEMIS_BENCH_BUDGET", "64"))
+    tier = os.environ.get("ARTEMIS_BENCH_TIER", "bench")
+    rounds = int(os.environ.get("ARTEMIS_BENCH_ROUNDS", "5"))
+    budget = int(os.environ.get("ARTEMIS_BENCH_BUDGET", "512"))
     crawl_only = "--crawl-only" in sys.argv
+
+    # steady-state defaults: dense seeds fill round 0, recrawl keeps later
+    # waves full, heap/scratch sized to the bench box (all overridable)
+    os.environ.setdefault("ARTEMIS_BENCH_SEEDS_PER_HOST", "64")
+    os.environ.setdefault("ARTEMIS_BENCH_REVISIT", "1")
+    os.environ.setdefault("ARTEMIS_DRIVER_MEM", "32g")
+    if os.path.isdir("/dev/shm"):
+        os.makedirs("/dev/shm/spark-local", exist_ok=True)
+        os.environ.setdefault("ARTEMIS_LOCAL_DIR", "/dev/shm/spark-local")
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from artemis_spark.session import get_spark
