@@ -39,6 +39,15 @@ def exact_dedup(df: DataFrame, keys: list[str], id_col: str) -> DataFrame:
     return df.groupBy(*keys).agg(F.min(id_col).alias(id_col))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a small-scan input to full parallelism before a
+    fan-out (explode) stage.  A documents file is a handful of splits,
+    but shingling expands it 30-100x — without this the explode and the
+    first aggregation run on 1-4 tasks regardless of cluster size."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n)
+
+
 def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle).
 
@@ -50,7 +59,7 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     )
     return (
         # guard: sequence(0, negative) would generate a *descending* range
-        df.where(F.size(F.split(F.col(text_col), " ")) >= n)
+        _spread(df.where(F.size(F.split(F.col(text_col), " ")) >= n))
         .select(F.col(id_col), F.explode(grams).alias("shingle"))
         .where(F.length("shingle") > 0)
         .distinct()
@@ -193,7 +202,8 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Output: (id, simhash:long).
     """
     words = (
-        df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        _spread(df)
+        .select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w"))
         .where(F.length("w") > 0)
         .distinct()
         .withColumn("h", md5_hash64(F.col("w")))

@@ -275,6 +275,14 @@ class CrawlEngine:
         fetched = fetched.drop("bytes").cache()
 
         # ----- crawl log (S8/S9 sink)
+        # payload validation (input_hint): decoded dims + phash must match
+        # the fixture metadata; NULL when nothing was decoded this round
+        payload_ok = F.when(
+            F.col("saved") & F.col("computed_phash").isNotNull(),
+            (F.col("computed_phash") == F.col("expected_phash"))
+            & (F.col("decoded.w") == F.col("expected_w").cast("int"))
+            & (F.col("decoded.h") == F.col("expected_h").cast("int")),
+        ) if cfg.decode_payloads else F.lit(None).cast("boolean")
         crawl_log = fetched.select(
             F.lit(r).alias("round"),
             "url",
@@ -283,6 +291,7 @@ class CrawlEngine:
             F.when(F.col("saved"), F.col("image_id")).alias("image_id"),
             F.when(F.col("saved"), F.col("computed_phash")).alias("phash"),
             F.when(F.col("saved"), F.col("caption")).alias("caption"),
+            payload_ok.alias("payload_ok"),
             F.lit(now).alias("fetched_at"),
         ).unionByName(
             robots_blocked.select(
@@ -293,6 +302,7 @@ class CrawlEngine:
                 F.lit(None).cast("string").alias("image_id"),
                 F.lit(None).cast("long").alias("phash"),
                 F.lit(None).cast("string").alias("caption"),
+                F.lit(None).cast("boolean").alias("payload_ok"),
                 F.lit(now).alias("fetched_at"),
             )
         )
@@ -516,6 +526,10 @@ class CrawlEngine:
             f_lin.result()
             uv, hv, fv, bv = f_uv.result(), f_hv.result(), f_fv.result(), f_bv.result()
         self.store.commit(r, {"url_seen": uv, "host_stats": hv, "frontier": fv, "bloom": bv})
+        # GC: superseded versions are unreachable once the manifest moved on;
+        # keep one prior snapshot for post-hoc inspection (Iceberg's
+        # expire_snapshots analogue)
+        self.store.vacuum(keep_last=2)
         _mark('persist_fanout')
 
         totals = lineage.groupBy().agg(

@@ -102,6 +102,7 @@ CRAWL_LOG_SCHEMA = T.StructType(
         T.StructField("image_id", T.StringType(), True),
         T.StructField("phash", T.LongType(), True),
         T.StructField("caption", T.StringType(), True),
+        T.StructField("payload_ok", T.BooleanType(), True),
         T.StructField("fetched_at", T.TimestampType(), True),
     ]
 )

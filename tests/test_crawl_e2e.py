@@ -96,3 +96,44 @@ def test_lineage_metrics_written(engine_run):
     for r in rows:
         by_round[r["round"]] = by_round.get(r["round"], 0) + r["urls_fetched"]
     assert by_round[0] > 0
+
+
+def test_payload_validation_all_ok(engine_run):
+    """input_hint: decoded phash + dims must equal the fixture metadata
+    for every saved payload (PSNR/allclose equivalence is asserted
+    per-codec in test_images.py)."""
+    eng, _ = engine_run
+    log = eng.store.read_appended("crawl_log")
+    saved = log.filter(log["image_id"].isNotNull()).collect()
+    assert len(saved) > 0
+    assert all(r["payload_ok"] for r in saved)
+
+
+def test_resume_after_interrupt_equals_straight_run(spark, tmp_path, tiny_web):
+    """North-rule resumability: stop after round k, build a NEW engine on
+    the same state dir, continue — final url_seen and crawl_log equal an
+    uninterrupted run over the same web."""
+    from artemis_spark.plans.crawl import CrawlConfig, CrawlEngine
+
+    cfg = CrawlConfig(politeness_budget=5, num_partitions=4, bloom_shards=8)
+
+    straight = CrawlEngine(spark, tiny_web, str(tmp_path / "s1"), cfg)
+    straight.run(3)
+
+    part1 = CrawlEngine(spark, tiny_web, str(tmp_path / "s2"), cfg)
+    part1.run(2)
+    resumed = CrawlEngine(spark, tiny_web, str(tmp_path / "s2"), cfg)  # fresh process stand-in
+    resumed.run(1)
+
+    def snap(eng):
+        seen = {
+            (r["url"], r["last_hash"], r["refresh_rate"])
+            for r in eng.store.read("url_seen").collect()
+        }
+        log = {
+            (r["round"], r["url"], r["status"], r["image_id"], r["phash"])
+            for r in eng.store.read_appended("crawl_log").collect()
+        }
+        return seen, log
+
+    assert snap(resumed) == snap(straight)
