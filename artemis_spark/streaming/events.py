@@ -48,19 +48,23 @@ def frontier_stream_dedup(
 
 
 def stateful_backoff(stream: DataFrame):
-    """Skeleton: per-host stateful refresh-rate tracking with
-    ``applyInPandasWithState`` (host -> (refresh_rate, last_status)).
-    Not wired in-sandbox: the batch loop owns this state; kept as the
-    documented streaming path."""
-    import pandas as pd  # noqa: F401
+    """Per-host stateful refresh-rate tracking with
+    ``applyInPandasWithState``: the streaming form of the T7 backoff
+    state machine (incr() once per 3xx/4xx/unchanged fetch, capped at
+    MAX_REFRESHRATE=20, /root/reference/src/Task.py:9,86-92).  State is
+    one int per host; each micro-batch emits the host's updated rate.
+    The batch round loop owns this state in url_seen; this is the
+    continuous-deployment path for a live fetch-result stream."""
+    import pandas as pd
 
-    def update(key, pdf_iter, state):  # pragma: no cover - skeleton
-        rate = state.get("rate", 1) if state.exists else 1
+    def update(key, pdf_iter, state):
+        (rate,) = state.get if state.exists else (1,)
+        n_bad = 0
         for pdf in pdf_iter:
-            bad = int((pdf["status"] >= 300).sum())
-            rate = min(20, rate + bad)
+            n_bad += int((pdf["status"].astype("int64") >= 300).sum())
+        rate = min(20, rate + n_bad)
         state.update((rate,))
-        yield __import__("pandas").DataFrame({"host": [key[0]], "refresh_rate": [rate]})
+        yield pd.DataFrame({"host": [key[0]], "refresh_rate": [rate]})
 
     return stream.groupBy("host").applyInPandasWithState(
         update,

@@ -74,3 +74,42 @@ def test_frontier_stream_dedup(spark, tmp_path):
         q.stop()
     urls = sorted(r["url"] for r in spark.sql("SELECT * FROM dedup_out").collect())
     assert urls == ["http://a.test/1", "http://a.test/2"]
+
+
+def test_stateful_backoff_accumulates_across_batches(spark, tmp_path):
+    """applyInPandasWithState keeps per-host state across micro-batches:
+    rate = 1 + total bad fetches so far, capped at 20 (T7)."""
+    from artemis_spark.streaming.events import stateful_backoff
+
+    src = str(tmp_path / "fetch_results")
+    batch1 = [("a.test", 200), ("a.test", 404), ("b.test", 200)]
+    batch2 = [("a.test", 304), ("a.test", 500), ("b.test", 200)]
+    spark.createDataFrame(batch1, "host string, status int").write.mode(
+        "append"
+    ).parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = (
+        stateful_backoff(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("backoff_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(batch2, "host string, status int").write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM backoff_out").collect()
+    # last emitted rate per host wins
+    last = {}
+    for r in rows:
+        last[r["host"]] = r["refresh_rate"]
+    assert last["a.test"] == 4  # 1 + 404 + 304 + 500
+    assert last["b.test"] == 1  # never backed off
