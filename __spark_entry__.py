@@ -441,6 +441,60 @@ def q_ann_bucketed(spark, sf_dir):
     return bucketed_ann_topk(emb, q, k=3, d=3).select("query_id", "rank", "neighbor_id")
 
 
+def q_running_total(spark, sf_dir):
+    """Window frame aggregation: cumulative order count + value per
+    customer over time (running-total shape, deterministic int sums)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc("o_orderdate"), F.asc("o_orderkey")
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count("*").over(w).alias("n_so_far"),
+        F.sum(_cents(F.col("o_totalprice"))).over(w).alias("spend_cents"),
+    )
+
+
+def q_rank_lag_lead(spark, sf_dir):
+    """Ranking + offset window family: rank / dense_rank / lag / lead of
+    order totals per priority class."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("total_cents"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("total_cents", _cents(F.col("o_totalprice")))
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.lag("o_orderkey", 1).over(w).alias("prev_key"),
+            F.lead("o_orderkey", 1).over(w).alias("next_key"),
+        )
+        .where(F.col("rnk") <= 20)
+    )
+
+
+def q_wordcount_topk(spark, sf_dir):
+    """The canonical explode->count->top-k wordcount over documents
+    (whitespace tokens, lowered), top-50 with deterministic tie-break."""
+    d = _t(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"))
+        .where(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("w"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 50)
+        .select("rank", "w", "n")
+    )
+
+
 def q_crawl_round_tiny(spark, sf_dir):
     """Flagship end-to-end: two crawl rounds over the deterministic tiny
     synthetic web (seeds -> dedup -> politeness -> robots -> synthetic
@@ -525,6 +579,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_docs": q_simhash_docs,
         "embedding_near_dup": q_embedding_near_dup,
+        "running_total": q_running_total,
+        "rank_lag_lead": q_rank_lag_lead,
+        "wordcount_topk": q_wordcount_topk,
         "crawl_round_tiny": q_crawl_round_tiny,
         "multimodal_decode": q_multimodal_decode,
         "ann_brute_topk": q_ann_brute_topk,
@@ -795,6 +852,33 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": _jaccard_sql(1, 4),
         "minhash_lsh_pairs": _minhash_oracle_sql(8, 4, 1, 5),
         "simhash_docs": _simhash_oracle_sql(),
+        "running_total": """
+            SELECT o_custkey, o_orderkey,
+                   count(*) OVER w AS n_so_far,
+                   sum(round(o_totalprice * 100)::BIGINT) OVER w AS spend_cents
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate ASC, o_orderkey ASC
+                         ROWS UNBOUNDED PRECEDING)""",
+        "rank_lag_lead": """
+            SELECT o_orderpriority, o_orderkey, rnk, drnk, prev_key, next_key FROM (
+              SELECT o_orderpriority, o_orderkey,
+                     rank() OVER w AS rnk,
+                     dense_rank() OVER w AS drnk,
+                     lag(o_orderkey, 1) OVER w AS prev_key,
+                     lead(o_orderkey, 1) OVER w AS next_key
+              FROM (SELECT *, round(o_totalprice * 100)::BIGINT AS total_cents FROM orders)
+              WINDOW w AS (PARTITION BY o_orderpriority
+                           ORDER BY total_cents DESC, o_orderkey ASC))
+            WHERE rnk <= 20""",
+        "wordcount_topk": """
+            WITH c AS (
+              SELECT w, count(*) AS n FROM (
+                SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+              ) WHERE length(w) > 0 GROUP BY w)
+            SELECT rank, w, n FROM (
+              SELECT w, n, row_number() OVER (ORDER BY n DESC, w ASC) AS rank
+              FROM c) WHERE rank <= 50""",
         "embedding_near_dup": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
                          (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
