@@ -100,6 +100,16 @@ def decode_validate_image(data: pd.Series) -> pd.DataFrame:
     """
     ok, ws, hs, shas, phs = [], [], [], [], []
     for blob in data:
+        if blob is None:
+            # vectorized UDFs see the WHOLE batch even when the caller
+            # wraps the call in when(cond, ...): non-fetched rows arrive
+            # as NULL bytes and must not pay the exception path
+            ok.append(False)
+            ws.append(None)
+            hs.append(None)
+            shas.append(None)
+            phs.append(None)
+            continue
         try:
             px = decode_rgb(bytes(blob))
             ok.append(True)
