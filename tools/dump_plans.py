@@ -1,0 +1,116 @@
+"""Regenerate PLANS.md: formatted physical plans of the round's critical
+paths + headline queries, with the properties each plan must exhibit."""
+from __future__ import annotations
+
+import io
+import os
+import re
+import sys
+import tempfile
+from contextlib import redirect_stdout
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    txt = buf.getvalue()
+    # keep the operator tree + the scan lines (PushedFilters/ReadSchema)
+    tree_end = txt.index("\n\n") if "\n\n" in txt else len(txt)
+    tree = txt[:tree_end]
+    details = "\n".join(
+        line.strip()[:200]
+        for line in txt.splitlines()
+        if re.search(r"PushedFilters|ReadSchema|Arguments: hashpartitioning|Join type", line)
+    )
+    return tree + "\n-- scan/exchange details --\n" + details
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from artemis_spark.session import get_spark
+    from artemis_spark.datagen import generate
+    from artemis_spark.plans.crawl import CrawlConfig, CrawlEngine
+    import __spark_entry__ as E
+
+    spark = get_spark("plans", master="local[8]", shuffle_partitions=8)
+    sf = "/root/testdata/sf0.01"
+    web = os.path.join(tempfile.gettempdir(), "artemis_plans_web")
+    if not os.path.exists(os.path.join(web, "_DONE")):
+        generate("tiny", web)
+        open(os.path.join(web, "_DONE"), "w").close()
+    state = tempfile.mkdtemp(prefix="artemis_plans_state_")
+    eng = CrawlEngine(
+        spark, web, state, CrawlConfig(politeness_budget=5, num_partitions=8)
+    )
+    eng.web.count()  # materialize cache so plans show InMemoryTableScan
+
+    sections = []
+
+    # 1. the co-partitioned fetch join
+    from artemis_spark.sources.fetch import synthetic_fetch
+
+    wave = (
+        eng.link_graph.select("url")
+        .select("url", F.parse_url("url", F.lit("HOST")).alias("host"))
+        .repartition(8, "host")
+    )
+    # at tiny fixture scale AQE correctly broadcasts the web instead; force
+    # the sort-merge path to show the shape a 100TB web table would plan
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sections.append((
+        "Fetch join (wave x cached web), broadcast disabled to show the "
+        "at-scale shape — MUST show the cached side read straight from "
+        "InMemoryTableScan with no Exchange and no Sort above it "
+        "(co-partitioned on hash(host), cache pre-sorted on the join "
+        "keys); only the wave side exchanges.  (At the tiny fixture size "
+        "AQE instead broadcasts the web — also correct.)",
+        plan_of(synthetic_fetch(wave, eng.web)),
+    ))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+    # 2. dedupe within batch — HashAggregate, never SortAggregate
+    from artemis_spark.operators.dedup import dedupe_within_batch
+
+    cands = wave.select(
+        "url", "host", F.lit(1).alias("depth"),
+        F.lit("web_static").alias("nature"), F.lit(0).alias("round_added"),
+    )
+    sections.append((
+        "Within-batch dedupe — MUST plan HashAggregate (fixed-width "
+        "numeric buffers; min(string) would silently degrade to a "
+        "SortAggregate over the whole batch) and reuse the wave's "
+        "hash(host) partitioning (no extra Exchange).",
+        plan_of(dedupe_within_batch(cands)),
+    ))
+
+    # 3. headline oracle queries: pushdown + broadcast evidence
+    for name, why in [
+        ("dedup_anti_join", "BroadcastHashJoin LeftAnti; the seen-side filter "
+                            "l_returnflag='R' is pushed into the parquet scan "
+                            "(PushedFilters) and only l_orderkey is read."),
+        ("join_agg_topn", "dimension filters pushed to scans; customer side "
+                          "broadcast; partial aggregation before the exchange."),
+        ("politeness_topk", "single exchange for the window partitionBy; "
+                            "ReadSchema pruned to the 4 used columns."),
+    ]:
+        sections.append((f"`{name}` — {why}", plan_of(E.queries()[name](spark, sf))))
+
+    out = ["# PLANS — physical-plan audit of the critical paths",
+           "",
+           "Regenerate with `python tools/dump_plans.py`.  Each section states",
+           "the property the plan must exhibit; the plan text is the proof.",
+           ""]
+    for title, plan in sections:
+        out += [f"## {title}", "", "```", plan.rstrip(), "```", ""]
+    with open(os.path.join(HERE, "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    print("wrote PLANS.md")
+
+
+if __name__ == "__main__":
+    main()
