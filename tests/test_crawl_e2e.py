@@ -137,3 +137,33 @@ def test_resume_after_interrupt_equals_straight_run(spark, tmp_path, tiny_web):
         return seen, log
 
     assert snap(resumed) == snap(straight)
+
+
+def test_salted_fetch_wave_same_results(spark, tmp_path, tiny_web):
+    """north_rule skew handling: running the round with fetch_salt > 0
+    (salted host repartition of the wave) must not change any output —
+    salting is a physical re-distribution only."""
+    from artemis_spark.plans.crawl import CrawlConfig, CrawlEngine
+
+    base = CrawlEngine(
+        spark, tiny_web, str(tmp_path / "nosalt"),
+        CrawlConfig(politeness_budget=5, num_partitions=4, bloom_shards=8),
+    )
+    base.run(2)
+    salted = CrawlEngine(
+        spark, tiny_web, str(tmp_path / "salt"),
+        CrawlConfig(politeness_budget=5, num_partitions=4, bloom_shards=8, fetch_salt=3),
+    )
+    salted.run(2)
+
+    def log(eng):
+        return {
+            (r["round"], r["url"], r["status"], r["image_id"], r["phash"])
+            for r in eng.store.read_appended("crawl_log").collect()
+        }
+
+    assert log(salted) == log(base)
+    seen = lambda e: {
+        (r["url"], r["refresh_rate"]) for r in e.store.read("url_seen").collect()
+    }
+    assert seen(salted) == seen(base)
