@@ -754,22 +754,22 @@ def oracle_sql() -> dict[str, str]:
                   < TIMESTAMP '1996-01-01'""",
         "crawl_metrics_rollup": """
             SELECT l_returnflag, l_linestatus,
-                   sum(l_quantity::BIGINT) AS sum_qty,
-                   sum(round(l_extendedprice * 100)::BIGINT) AS sum_base_cents,
+                   sum(l_quantity::BIGINT)::BIGINT AS sum_qty,
+                   sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS sum_base_cents,
                    sum(round(l_extendedprice * 100)::BIGINT
-                       * (100 - round(l_discount * 100)::BIGINT)) AS sum_disc_scaled,
+                       * (100 - round(l_discount * 100)::BIGINT))::BIGINT AS sum_disc_scaled,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY l_returnflag, l_linestatus""",
         "host_stats_agg": """
             SELECT event_type, count(*) AS n,
-                   sum(round(value * 100)::BIGINT) AS value_cents,
+                   sum(round(value * 100)::BIGINT)::BIGINT AS value_cents,
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type""",
         "events_window_agg": """
             SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch, event_type,
-                   count(*) AS n, sum(round(value * 100)::BIGINT) AS value_cents
+                   count(*) AS n, sum(round(value * 100)::BIGINT)::BIGINT AS value_cents
             FROM events GROUP BY 1, 2""",
         "sessionize": """
             -- floor(epoch()) everywhere: Spark's unix_timestamp truncates
@@ -785,7 +785,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT user_id, ts,
                      sum(new_sess) OVER (PARTITION BY user_id
                        ORDER BY ts ASC, event_id ASC
-                       ROWS UNBOUNDED PRECEDING) AS session_id
+                       ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
               FROM g)
             SELECT user_id, session_id, count(*) AS n_events,
                    floor(min(epoch(ts)))::BIGINT AS start_epoch
@@ -794,7 +794,7 @@ def oracle_sql() -> dict[str, str]:
             WITH j AS (
               SELECT l_orderkey,
                      sum(round(l_extendedprice * 100)::BIGINT
-                         * (100 - round(l_discount * 100)::BIGINT)) AS revenue_scaled
+                         * (100 - round(l_discount * 100)::BIGINT))::BIGINT AS revenue_scaled
               FROM lineitem
               JOIN orders ON l_orderkey = o_orderkey
               JOIN customer ON o_custkey = c_custkey
@@ -810,7 +810,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT coalesce(n_name, 'ALL') AS nation,
                    coalesce(c_mktsegment, 'ALL') AS segment,
                    count(*) AS n_cust,
-                   sum(round(c_acctbal * 100)::BIGINT) AS bal_cents
+                   sum(round(c_acctbal * 100)::BIGINT)::BIGINT AS bal_cents
             FROM customer JOIN nation ON c_nationkey = n_nationkey
             GROUP BY ROLLUP (n_name, c_mktsegment)""",
         "pivot_status": """
@@ -855,7 +855,7 @@ def oracle_sql() -> dict[str, str]:
         "running_total": """
             SELECT o_custkey, o_orderkey,
                    count(*) OVER w AS n_so_far,
-                   sum(round(o_totalprice * 100)::BIGINT) OVER w AS spend_cents
+                   (sum(round(o_totalprice * 100)::BIGINT) OVER w)::BIGINT AS spend_cents
             FROM orders
             WINDOW w AS (PARTITION BY o_custkey
                          ORDER BY o_orderdate ASC, o_orderkey ASC

@@ -58,7 +58,15 @@ def _block_mean(gray: np.ndarray, rows: int, cols: int) -> np.ndarray:
 
 def dhash64(pixels: np.ndarray) -> int:
     """64-bit difference hash: 9x8 block-mean grayscale, bit = left<right,
-    packed row-major, returned as a signed int64 (column type long)."""
+    packed row-major, returned as a signed int64 (column type long).
+
+    Raises for images smaller than the 8x9 grid: reduceat with zero-size
+    blocks would produce duplicate offsets and divide by zero, yielding a
+    silently-wrong hash instead of a failure the decode UDF can surface.
+    """
+    h, w = pixels.shape[:2]
+    if h < 8 or w < 9:
+        raise ValueError(f"image {h}x{w} smaller than 8x9 dhash grid")
     g = _block_mean(to_gray(pixels), 8, 9)
     bits = (g[:, 1:] > g[:, :-1]).flatten()
     v = int.from_bytes(np.packbits(bits).tobytes(), "big")

@@ -26,10 +26,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..rounds import ROUND_SECONDS
-from ..schemas import MAX_REFRESH_RATE
+from ..schemas import MAX_REFRESH_RATE, NATURES
 
-
-_NATURES = ["web_static", "web_static_sitemap", "web_static_tor", "web_static_torrent"]
+# Sorted so the int-code min agrees with min(string); derived from the
+# single schemas.NATURES enum rather than re-hardcoded here.
+_NATURES = sorted(NATURES)
 
 
 def dedupe_within_batch(candidates: DataFrame) -> DataFrame:
@@ -45,7 +46,14 @@ def dedupe_within_batch(candidates: DataFrame) -> DataFrame:
     Catalyst plans a codegen HashAggregate — min(string) would fall back
     to SortAggregate and sort the whole multi-million-row batch.
     """
-    code = F.array_position(F.array(*[F.lit(n) for n in _NATURES]), F.col("nature"))
+    # array_position yields 0 for not-found; nullif maps that to NULL so
+    # an out-of-enum nature degrades to NULL instead of try_element_at
+    # throwing INVALID_INDEX_OF_ZERO at runtime (possible when resuming a
+    # state dir written before seed-nature normalization).
+    code = F.nullif(
+        F.array_position(F.array(*[F.lit(n) for n in _NATURES]), F.col("nature")),
+        F.lit(0),
+    )
     decode = F.array(*[F.lit(n) for n in _NATURES])
     return (
         candidates.withColumn("_nat", code)
@@ -90,9 +98,12 @@ def validate_against_seen(
     # (host, url) keys: host is derived from url, so the extra equality is
     # a no-op semantically but lets the join reuse the wave's hash(host)
     # partitioning — only the state side exchanges, and only by host.
+    # eqNullSafe on host: host is nullable in URL_SEEN_SCHEMA and a plain
+    # equality would silently never match a NULL-host state row, duplicating
+    # it in the merged state.
     j = maybe_seen.join(
         seen,
-        (maybe_seen["host"] == seen["s_host"]) & (maybe_seen["url"] == seen["s_url"]),
+        maybe_seen["host"].eqNullSafe(seen["s_host"]) & (maybe_seen["url"] == seen["s_url"]),
         "left",
     )
     # is_alive: now - last_controlled < refresh_rate * delay  (in rounds)

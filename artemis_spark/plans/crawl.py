@@ -147,10 +147,7 @@ class CrawlEngine:
             # URL so downstream code can assume the closed enum
             # (/root/reference/src/Task.py:16-20)
             F.when(
-                F.col("nature").cast("string").isin(
-                    "web_static", "web_static_sitemap",
-                    "web_static_tor", "web_static_torrent",
-                ),
+                F.col("nature").cast("string").isin(*S.NATURES),
                 F.col("nature").cast("string"),
             ).otherwise(classify_nature(F.col("url"))).alias("nature"),
             F.lit(0).alias("round_added"),
@@ -407,8 +404,17 @@ class CrawlEngine:
         # re-emit stale URLs from the *post-round* merged state (URLs
         # controlled this round have fresh last_controlled = now).
         seen_cols = [f.name for f in URL_SEEN_SCHEMA.fields]
+        # eqNullSafe on host: a NULL-host historical row must still match its
+        # update or it would be duplicated in the merged state.
+        upd_keys = seen_updates.select(
+            F.col("host").alias("u_host"), F.col("url").alias("u_url")
+        )
         merged_state = (
-            url_seen.join(seen_updates.select("host", "url"), ["host", "url"], "left_anti")
+            url_seen.join(
+                upd_keys,
+                F.col("host").eqNullSafe(F.col("u_host")) & (F.col("url") == F.col("u_url")),
+                "left_anti",
+            )
             .select(*seen_cols)
             .unionByName(seen_updates.select(*seen_cols))
         ).cache()  # one compute feeds both the url_seen MERGE write and recrawl_due

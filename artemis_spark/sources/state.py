@@ -115,7 +115,14 @@ class StateStore:
         base = os.path.join(self.root, table)
         if not os.path.exists(base):
             return None
-        return self.spark.read.option("basePath", base).parquet(base)
+        # mergeSchema: append-only tables may gain columns across engine
+        # versions (e.g. payload_ok); without it the inferred schema depends
+        # on which round-dir Spark samples.
+        return (
+            self.spark.read.option("basePath", base)
+            .option("mergeSchema", "true")
+            .parquet(base)
+        )
 
     # -- GC ----------------------------------------------------------------------
 

@@ -78,7 +78,7 @@ def run_at(cpus: int, tier: str, rounds: int, budget: int, reps: int) -> dict:
         os.makedirs("/dev/shm/spark-local", exist_ok=True)
         env.setdefault("ARTEMIS_LOCAL_DIR", "/dev/shm/spark-local")
         env.setdefault("ARTEMIS_STATE_BASE", "/dev/shm")
-    best = None
+    best, best_key = None, 0.0
     for _ in range(reps):
         out = subprocess.run(
             [sys.executable, os.path.join(HERE, "bench.py"), "--crawl-only"],
@@ -89,9 +89,12 @@ def run_at(cpus: int, tier: str, rounds: int, budget: int, reps: int) -> dict:
         )
         line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
         crawl = json.loads(line)["crawl"]
+        # compare the SAME key on both sides (a None median falling back to
+        # urls_per_sec must not be compared against the other rep's median)
         key = crawl.get("urls_per_sec_median_round") or crawl["urls_per_sec"]
-        if best is None or key > (best.get("urls_per_sec_median_round") or 0):
-            best = crawl
+        if best is None or key > best_key:
+            best, best_key = crawl, key
+    best["reps"] = reps
     return best
 
 
@@ -143,6 +146,9 @@ def main() -> None:
         "local[N] parallelism levels; throughput = median per-round",
         "URLs(scheduled+fetched)/sec over rounds 1..n (round 0 excluded:",
         "it pays the one-time web-cache build).",
+        f"Each level runs {reps} rep(s); the reported run per level is the",
+        "one with the best median-round throughput (same selection as the",
+        "hw probe; noisy shared-host draws discarded, disclosed here).",
         "",
         "| parallelism | median URLs/s | steady URLs/s |",
         "|---|---|---|",

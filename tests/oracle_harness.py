@@ -44,6 +44,17 @@ def compare_one(spark, con, name: str, qfn, sql: str, sf_dir: str) -> dict:
         out["status"] = "ROWCOUNT_MISMATCH"
         return out
     a, b = normalize(sdf), normalize(odf)
+    # The driver hashes rendered values, so int64 3 vs float64 3.0 is a
+    # hash MISMATCH even though check_dtype=False would pass it (DuckDB
+    # HUGEINT sums surface as float64 in pandas). Reproduce that verdict.
+    kind_diff = [
+        c for c in a.columns
+        if {a[c].dtype.kind, b[c].dtype.kind} == {"i", "f"}
+    ]
+    if kind_diff:
+        out["status"] = "VALUE_MISMATCH"
+        out["detail"] = [f"int-vs-float dtype kind mismatch: {kind_diff}"]
+        return out
     try:
         pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
         out["status"] = "OK"
