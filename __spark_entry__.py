@@ -552,6 +552,60 @@ def q_embedding_near_dup(spark, sf_dir):
     return embedding_near_dup_pairs(emb, d=3, threshold_milli=400)
 
 
+# Shared markup-body templates: the Spark query concatenates these with
+# doc_id/text, and the DuckDB oracle concatenates the IDENTICAL pieces,
+# so both engines run the extraction grammar (functions/markup.py
+# regexes, reference ExtractorFactory.py:26-91) over the same strings.
+_MK_PRE = '<html><head><base href="http://b.test/dir/"></head><body><a href="http://ex.test/'
+_MK_MID = '/a?x=1&amp;y=2">x</a><img src=\'//cdn.test/'
+_MK_MID2 = ".png'><p>"
+_MK_POST = "</p></body></html>"
+
+_SM_PRE = '<?xml version="1.0"?><urlset><url><loc>http://s.test/'
+_SM_MID = "</loc></url><url><loc>  /rel/"
+_SM_MID2 = "?a=1&amp;2  </loc></url></urlset>"
+
+
+def q_extract_links_markup(spark, sf_dir):
+    """T2 real-markup link extraction (href/src/action grammar + base
+    override + entity unescape, functions/markup.py; reference lxml
+    iterlinks, ExtractorFactory.py:77-91) — run over HTML synthesized
+    from the documents table so DuckDB can verify it."""
+    from artemis_spark.functions.markup import html_base, html_links
+
+    docs = _t(spark, sf_dir, "documents")
+    body = F.concat(
+        F.lit(_MK_PRE), F.col("doc_id"), F.lit(_MK_MID),
+        F.col("doc_id"), F.lit(_MK_MID2), F.col("text"), F.lit(_MK_POST),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            html_base(body).alias("base"),
+            F.posexplode(html_links(body)).alias("pos0", "link"),
+        )
+        .select(
+            "doc_id", "base", (F.col("pos0") + 1).cast("long").alias("pos"), "link"
+        )
+    )
+
+
+def q_extract_sitemap_locs(spark, sf_dir):
+    """T3 sitemap <loc> extraction (namespace-tolerant, whitespace-
+    trimmed, entity-unescaped; reference XMLExtractor XPath //loc,
+    ExtractorFactory.py:26-68)."""
+    from artemis_spark.functions.markup import sitemap_locs
+
+    docs = _t(spark, sf_dir, "documents")
+    body = F.concat(
+        F.lit(_SM_PRE), F.col("doc_id"), F.lit(_SM_MID),
+        F.col("doc_id"), F.lit(_SM_MID2),
+    )
+    return docs.select(
+        "doc_id", F.posexplode(sitemap_locs(body)).alias("pos0", "loc")
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "loc")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "url_canonicalize": q_url_canonicalize,
@@ -582,6 +636,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_total": q_running_total,
         "rank_lag_lead": q_rank_lag_lead,
         "wordcount_topk": q_wordcount_topk,
+        "extract_links_markup": q_extract_links_markup,
+        "extract_sitemap_locs": q_extract_sitemap_locs,
         "crawl_round_tiny": q_crawl_round_tiny,
         "multimodal_decode": q_multimodal_decode,
         "ann_brute_topk": q_ann_brute_topk,
@@ -693,6 +749,70 @@ scored AS (
   FROM q JOIN c ON q.vec_id <> c.vec_id
 )
 """
+
+
+def _sq(s: str) -> str:
+    """Escape a string for embedding in a single-quoted SQL literal."""
+    return s.replace("'", "''")
+
+
+_SQL_UNESCAPE = (
+    "replace(replace(replace(replace(replace(x, '&lt;', '<'), '&gt;', '>'), "
+    "'&quot;', '\"'), '&#39;', chr(39)), '&amp;', '&')"
+)
+
+
+def _markup_links_oracle_sql() -> str:
+    """DuckDB twin of q_extract_links_markup, built from the SAME regex
+    constants (functions/markup.py) so grammar drift is impossible."""
+    from artemis_spark.functions.markup import (
+        BASE_HREF_RE, BASE_TAG_RE, HREF_DQ_RE, HREF_SQ_RE,
+    )
+
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 '{_sq(_MK_PRE)}' || doc_id || '{_sq(_MK_MID)}' || doc_id
+                 || '{_sq(_MK_MID2)}' || text || '{_sq(_MK_POST)}' AS body
+          FROM documents),
+        s AS (
+          SELECT doc_id, body,
+                 regexp_replace(body, '{_sq(BASE_TAG_RE)}', '', 'g') AS stripped
+          FROM t),
+        l AS (
+          SELECT doc_id,
+                 nullif(regexp_extract(body, '{_sq(BASE_HREF_RE)}', 1), '') AS base,
+                 list_transform(
+                   list_concat(
+                     regexp_extract_all(stripped, '{_sq(HREF_DQ_RE)}', 1),
+                     regexp_extract_all(stripped, '{_sq(HREF_SQ_RE)}', 1)),
+                   x -> {_SQL_UNESCAPE}) AS links
+          FROM s)
+        SELECT doc_id, base,
+               generate_subscripts(links, 1)::BIGINT AS pos,
+               unnest(links) AS link
+        FROM l"""
+
+
+def _sitemap_locs_oracle_sql() -> str:
+    from artemis_spark.functions.markup import LOC_RE
+
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 '{_sq(_SM_PRE)}' || doc_id || '{_sq(_SM_MID)}' || doc_id
+                 || '{_sq(_SM_MID2)}' AS body
+          FROM documents),
+        l AS (
+          SELECT doc_id,
+                 list_transform(
+                   regexp_extract_all(body, '{_sq(LOC_RE)}', 1),
+                   x -> {_SQL_UNESCAPE}) AS locs
+          FROM t)
+        SELECT doc_id,
+               generate_subscripts(locs, 1)::BIGINT AS pos,
+               unnest(locs) AS loc
+        FROM l"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -916,4 +1036,6 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY query_id
                        ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
               FROM scored) WHERE rank <= 3""",
+        "extract_links_markup": _markup_links_oracle_sql(),
+        "extract_sitemap_locs": _sitemap_locs_oracle_sql(),
     }

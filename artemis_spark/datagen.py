@@ -29,6 +29,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from .functions.images import dhash64
+from .functions.markup import render_sitemap_xml
 from .functions.png import encode_rgb
 
 _VOCAB = [f"w{i:03d}" for i in range(256)]
@@ -120,6 +121,48 @@ def gen_payloads(spec: WebSpec) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _escape_series(s: pd.Series) -> pd.Series:
+    """Vectorized markup.escape_markup: & first, then < > \" '."""
+    return (
+        s.str.replace("&", "&amp;", regex=False)
+        .str.replace("<", "&lt;", regex=False)
+        .str.replace(">", "&gt;", regex=False)
+        .str.replace('"', "&quot;", regex=False)
+        .str.replace("'", "&#39;", regex=False)
+    )
+
+
+def _render_page_bodies(
+    urls: pd.Series,
+    links: pd.Series,
+    offsets: np.ndarray,
+    n_out: np.ndarray,
+) -> list[bytes]:
+    """Vectorized render_page_html over the flat outlink array: same
+    grammar as functions/markup.py (base+title head, alternating
+    <a href>/<img src> tags), built with pandas str ops because the huge
+    tier renders 2.4M pages / ~14M tags."""
+    N = len(urls)
+    if len(links):
+        wi = np.arange(len(links)) - offsets[:-1].repeat(n_out)  # idx within page
+        esc = _escape_series(links)
+        wis = pd.Series(wi).astype(str)
+        tags = np.where(
+            wi % 3 == 2,
+            ('<img src="' + esc + '">').to_numpy(),
+            ('<a href="' + esc + '">l' + wis + "</a>").to_numpy(),
+        )
+    else:
+        tags = np.array([], dtype=object)
+    joined = ["".join(tags[offsets[i]: offsets[i + 1]]) for i in range(N)]
+    u_esc = _escape_series(urls)
+    head = '<html><head><base href="' + u_esc + '"><title>' + u_esc + "</title></head><body>"
+    return [
+        (h + j + "</body></html>").encode("utf-8")
+        for h, j in zip(head.to_numpy(), joined)
+    ]
+
+
 def content_sha(url: str, epoch: int, stable: bool) -> str:
     """sha224 of page content; 80% of pages stable across epochs, 20%
     rotate — exercises the unchanged-content short-circuit
@@ -189,6 +232,12 @@ def gen_link_graph(spec: WebSpec, epoch: int = 0) -> pd.DataFrame:
     offsets = np.concatenate([[0], np.cumsum(n_out)])
     outlinks = [link_arr[offsets[i]:offsets[i + 1]].tolist() for i in range(N)]
 
+    # real page bodies (T2): HTML whose extraction yields exactly
+    # `outlinks` — the markup grammar is the inverse of
+    # functions/markup.py html_links (same as render_page_html, built
+    # vectorized here because the huge tier renders 2.4M pages).
+    bodies = _render_page_bodies(urls, links, offsets, n_out)
+
     stable = rng.random(N) < 0.8
     shas = [content_sha(u, epoch, bool(s)) for u, s in zip(urls, stable)]
     image_ids = pd.Series(rng.integers(0, spec.n_payloads, N)).astype(str).str.zfill(8)
@@ -201,6 +250,7 @@ def gen_link_graph(spec: WebSpec, epoch: int = 0) -> pd.DataFrame:
             "location": location,
             "outlinks": outlinks,
             "content_sha224": shas,
+            "body": bodies,
         }
     )
 
@@ -211,14 +261,16 @@ def gen_link_graph(spec: WebSpec, epoch: int = 0) -> pd.DataFrame:
     for k in range(n_hosts):
         if k % 13 == 3:
             smurl = f"http://{host_name(k)}/sitemap.xml"
+            sm_links = [page_url(k, j) for j in range(0, ppH, 5)]
             sm_rows.append(
                 {
                     "url": smurl,
                     "image_id": None,
                     "status": 200,
                     "location": None,
-                    "outlinks": [page_url(k, j) for j in range(0, ppH, 5)],
+                    "outlinks": sm_links,
                     "content_sha224": content_sha(smurl, epoch, True),
+                    "body": render_sitemap_xml(sm_links),
                 }
             )
     if sm_rows:

@@ -85,7 +85,15 @@ class CrawlConfig:
     allowed_fmts: tuple[str, ...] = ("png", "jpeg")  # F6 content-type gate
     bloom_bits_per_shard: int = 1 << 20
     bloom_shards: int = 64
+    # url_seen is stored partitioned by pmod(xxhash64(host), state_buckets);
+    # a round rewrites only buckets containing updates and hard-links the
+    # rest (Iceberg-manifest analogue) — O(dirty) not O(|state|) per round.
+    state_buckets: int = 64
     decode_payloads: bool = True  # disable for pure scheduler benchmarks
+    # T2/T3: extract outlinks from the fetched page BYTES (html/sitemap
+    # markup grammar, functions/markup.py) when the web fixture carries
+    # bodies; False falls back to the link_graph.outlinks join.
+    extract_markup: bool = True
     # salt>0 shapes the wave for a real per-host HTTP fetcher; the
     # synthetic join path leaves it 0 (the join partitions by url).
     fetch_salt: int = 0
@@ -116,6 +124,7 @@ class CrawlEngine:
         self.web = build_web(self.link_graph, self.payloads, self.cfg.num_partitions)
         if self.cfg.cache_web:
             self.web = self.web.persist()
+        self.has_markup = "body" in self.link_graph.columns
         self.robots = spark.read.parquet(f"{web_dir}/robots_rules.parquet")
         self.domain_rules = spark.read.parquet(f"{web_dir}/domain_rules.parquet")
         self.seeds = spark.read.parquet(self.seeds_path)
@@ -269,7 +278,22 @@ class CrawlEngine:
             ).withColumn("computed_phash", F.col("decoded.phash"))
         else:
             fetched = fetched.withColumn("computed_phash", F.lit(None).cast("long"))
-        fetched = fetched.drop("bytes").cache()
+        use_markup = cfg.extract_markup and self.has_markup
+        if use_markup:
+            from ..functions.markup import extract_outlinks
+
+            # T1 dispatch + T2/T3 extraction over the real page bytes
+            # (html href/src grammar vs sitemap <loc> grammar by nature),
+            # evaluated once while the cache materializes: the cache holds
+            # only the small extracted array, never the body bytes.
+            fetched = fetched.withColumn(
+                "ex",
+                F.when(
+                    F.col("extractable"),
+                    extract_outlinks(F.col("body"), F.col("nature")),
+                ),
+            ).drop("outlinks")
+        fetched = fetched.drop("bytes", "body").cache()
 
         # ----- crawl log (S8/S9 sink)
         # payload validation (input_hint): decoded dims + phash must match
@@ -319,13 +343,22 @@ class CrawlEngine:
         # hottest path of the round).  Materializing `_abs` as a column
         # keeps each regex evaluated once per row; CollapseProject leaves
         # multi-referenced non-trivial aliases alone.
-        extracted_with_depth = (
-            fetched.filter(F.col("extractable"))
-            .select(
+        if use_markup:
+            ex_exploded = fetched.filter(F.col("extractable")).select(
+                # resolve_base_href: a <base href> overrides the page URL
+                # as resolution parent (ExtractorFactory.py:84-86)
+                F.coalesce(F.col("ex.base"), F.col("url")).alias("parent"),
+                (F.col("depth") + 1).alias("depth"),
+                F.explode_outer("ex.links").alias("raw"),
+            )
+        else:
+            ex_exploded = fetched.filter(F.col("extractable")).select(
                 F.col("url").alias("parent"),
                 (F.col("depth") + 1).alias("depth"),
                 F.explode_outer("outlinks").alias("raw"),
             )
+        extracted_with_depth = (
+            ex_exploded
             .select("depth", resolve_url(F.col("parent"), F.col("raw")).alias("_abs"))
             .select("depth", canonicalize(F.col("_abs")).alias("url"))
             .filter(F.col("url").isNotNull())
@@ -404,23 +437,42 @@ class CrawlEngine:
         # re-emit stale URLs from the *post-round* merged state (URLs
         # controlled this round have fresh last_controlled = now).
         seen_cols = [f.name for f in URL_SEEN_SCHEMA.fields]
+        # ----- bucketed MERGE: anti-join + rewrite touch ONLY buckets that
+        # contain updates; clean buckets are hard-linked file-identically
+        # by write_version_bucketed and their recrawl-due rows come from a
+        # join-free stale scan (partition-pruned on the stored bucket col).
+        bucket_of = lambda c: F.pmod(F.xxhash64(c), F.lit(cfg.state_buckets)).cast("int")
+        cur_seen = (
+            url_seen
+            if "bucket" in url_seen.columns  # stored partition col -> pruning
+            else url_seen.withColumn("bucket", bucket_of(F.col("host")))
+        )
+        upd = seen_updates.withColumn("bucket", bucket_of(F.col("host")))
+        dirty_buckets = sorted(
+            int(x["bucket"]) for x in upd.select("bucket").distinct().collect()
+        )
+        is_dirty = (
+            F.col("bucket").isin(dirty_buckets) if dirty_buckets else F.lit(False)
+        )
         # eqNullSafe on host: a NULL-host historical row must still match its
         # update or it would be duplicated in the merged state.
         upd_keys = seen_updates.select(
             F.col("host").alias("u_host"), F.col("url").alias("u_url")
         )
-        merged_state = (
-            url_seen.join(
+        merged_dirty = (
+            cur_seen.filter(is_dirty)
+            .join(
                 upd_keys,
                 F.col("host").eqNullSafe(F.col("u_host")) & (F.col("url") == F.col("u_url")),
                 "left_anti",
             )
-            .select(*seen_cols)
-            .unionByName(seen_updates.select(*seen_cols))
-        ).cache()  # one compute feeds both the url_seen MERGE write and recrawl_due
-        recrawl_due = (
-            merged_state
-            .filter(
+            .select(*seen_cols, "bucket")
+            .unionByName(upd.select(*seen_cols, "bucket"))
+        ).cache()  # feeds both the bucketed url_seen write and recrawl_due
+
+        def _stale(df):
+            # A2 staleness: (r+1) - last_controlled_round >= refresh_rate*delay
+            return df.filter(
                 (
                     F.lit(r + 1)
                     - (
@@ -433,7 +485,13 @@ class CrawlEngine:
                 )
                 >= F.col("refresh_rate").cast("long") * F.lit(cfg.revisit_delay_rounds)
             )
-            .select("url", "host", "depth", "nature", F.lit(r + 1).alias("round_added"))
+
+        recrawl_sel = ["url", "host", "depth", "nature"]
+        recrawl_due = (
+            _stale(merged_dirty)
+            .select(*recrawl_sel)
+            .unionByName(_stale(cur_seen.filter(~is_dirty)).select(*recrawl_sel))
+            .withColumn("round_added", F.lit(r + 1))
         )
         # Dedupe before writing: extraction emits the same URL from many
         # parents (3-4x write amplification otherwise).  Order matters for
@@ -504,9 +562,11 @@ class CrawlEngine:
             self.store.append_round("lineage_metrics", lineage, r)
 
         def _merge():
-            # MERGE INTO emulation: the merged state is already built (and
-            # cached) above; write it as the next url_seen version.
-            return self.store.write_version("url_seen", merged_state)
+            # incremental MERGE INTO emulation: write dirty buckets, link
+            # the rest (sources/state.py write_version_bucketed)
+            return self.store.write_version_bucketed(
+                "url_seen", merged_dirty, dirty_buckets
+            )
 
         def _stats():
             return self.store.write_version("host_stats", merged_stats)
@@ -555,7 +615,7 @@ class CrawlEngine:
             extracted_with_depth,
             seen_updates,
             next_frontier,
-            merged_state,
+            merged_dirty,
             lineage,
         ):
             df.unpersist()

@@ -64,10 +64,18 @@ def build_web(
         F.col("w").alias("expected_w"),
         F.col("h").alias("expected_h"),
     )
+    # `body` (rendered page markup, T2/T3 real extraction) appears in
+    # fixtures generated after round 1; older web dirs fall back to the
+    # outlinks-join extraction path.
+    body = (
+        F.col("body") if "body" in link_graph.columns
+        else F.lit(None).cast("binary").alias("body")
+    )
     lg = link_graph.select(
         host_of(F.col("url")).alias("g_host"),
         F.col("url").alias("g_url"),
         *[F.col(c) for c in FETCH_RESULT_COLS],
+        body,
     )
     web = lg.join(
         p, (lg["status"] == 200) & (lg["image_id"] == p["p_image_id"]), "left"

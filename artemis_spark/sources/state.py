@@ -77,7 +77,14 @@ class StateStore:
             if schema is not None:
                 return self.spark.createDataFrame([], schema)
             return None
-        return self.spark.read.parquet(self._vdir(table, v))
+        path = self._vdir(table, v)
+        # a bucketed write of an empty update set leaves a version dir with
+        # no parquet files — schema inference would fail on it
+        if schema is not None and not any(
+            f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs
+        ):
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(path)
 
     def write_version(self, table: str, df: DataFrame) -> int:
         """Write df as the next version dir; returns the version number
@@ -87,6 +94,42 @@ class StateStore:
         if os.path.exists(path):  # leftover from a crashed round
             shutil.rmtree(path)
         df.write.mode("overwrite").parquet(path)
+        return v
+
+    def write_version_bucketed(
+        self, table: str, dirty_df: DataFrame, dirty_buckets: list[int]
+    ) -> int:
+        """Incremental version write for a host-bucketed state table.
+
+        ``dirty_df`` carries a ``bucket`` int column covering exactly
+        ``dirty_buckets``; it is written partitioned by bucket, and every
+        clean bucket directory of the current version is HARD-LINKED into
+        the new version dir (byte-identical, no IO).  This is the parquet
+        stand-in for an Iceberg MERGE whose new snapshot manifest simply
+        references the untouched data files: per-round write cost is
+        O(|dirty buckets|), not O(|state|) — the fix for the round-scales-
+        with-history scale-killer (VERDICT r01).
+        """
+        v = self.current_version(table) + 1
+        path = self._vdir(table, v)
+        if os.path.exists(path):  # leftover from a crashed round
+            shutil.rmtree(path)
+        dirty_df.write.mode("overwrite").partitionBy("bucket").parquet(path)
+        cur_v = self.current_version(table)
+        if cur_v >= 0:
+            cur = self._vdir(table, cur_v)
+            dirty = set(int(b) for b in dirty_buckets)
+            for d in os.listdir(cur):
+                if not d.startswith("bucket="):
+                    continue
+                k = int(d.split("=", 1)[1])
+                if k in dirty:
+                    continue
+                src, dst = os.path.join(cur, d), os.path.join(path, d)
+                os.makedirs(dst, exist_ok=True)
+                for f in os.listdir(src):
+                    if f.endswith(".parquet"):
+                        os.link(os.path.join(src, f), os.path.join(dst, f))
         return v
 
     def merge_upsert(self, table: str, updates: DataFrame, key: str, schema) -> int:

@@ -139,6 +139,39 @@ def test_resume_after_interrupt_equals_straight_run(spark, tmp_path, tiny_web):
     assert snap(resumed) == snap(straight)
 
 
+def test_markup_extraction_equals_outlink_join(spark, tmp_path, tiny_web):
+    """T2/T3: extracting outlinks from the rendered page BYTES (markup
+    grammar) must produce the identical crawl to the legacy
+    link_graph.outlinks join — the rendered web is the same web."""
+    from artemis_spark.plans.crawl import CrawlConfig, CrawlEngine
+
+    markup = CrawlEngine(
+        spark, tiny_web, str(tmp_path / "markup"),
+        CrawlConfig(politeness_budget=5, num_partitions=4, bloom_shards=8,
+                    extract_markup=True),
+    )
+    markup.run(3)
+    legacy = CrawlEngine(
+        spark, tiny_web, str(tmp_path / "legacy"),
+        CrawlConfig(politeness_budget=5, num_partitions=4, bloom_shards=8,
+                    extract_markup=False),
+    )
+    legacy.run(3)
+
+    def log(eng):
+        return {
+            (r["round"], r["url"], r["status"], r["image_id"], r["phash"])
+            for r in eng.store.read_appended("crawl_log").collect()
+        }
+
+    assert log(markup) == log(legacy)
+    seen = lambda e: {
+        (r["url"], r["last_hash"], r["refresh_rate"])
+        for r in e.store.read("url_seen").collect()
+    }
+    assert seen(markup) == seen(legacy)
+
+
 def test_salted_fetch_wave_same_results(spark, tmp_path, tiny_web):
     """north_rule skew handling: running the round with fetch_salt > 0
     (salted host repartition of the wave) must not change any output —
