@@ -46,6 +46,7 @@ from artemis_spark.operators.similarity import (
     brute_force_topk,
     bucketed_ann_topk,
     embedding_near_dup_pairs,
+    embedding_near_dup_pairs_banded,
 )
 
 
@@ -441,6 +442,23 @@ def q_ann_bucketed(spark, sf_dir):
     return bucketed_ann_topk(emb, q, k=3, d=3).select("query_id", "rank", "neighbor_id")
 
 
+def q_ann_bucketed_d8(spark, sf_dir):
+    """Sign-bucketed ANN at quantizer depth 8 (256 cells): the same
+    operator at a scale-realistic depth — within-bucket work shrinks
+    ~(1/2^d)^2 vs d=3's 8 buckets (operators/similarity.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    return bucketed_ann_topk(emb, q, k=3, d=8).select("query_id", "rank", "neighbor_id")
+
+
+def q_embedding_near_dup_banded(spark, sf_dir):
+    """Near-dup pairs via banded sign-LSH (16 planes, 2 bands of 8):
+    OR-amplified candidates, pair-deduped, exact-cosine verified —
+    the at-scale replacement for the d=3 bucket self-join."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs_banded(emb, d=16, bands=2, threshold_milli=400)
+
+
 def q_running_total(spark, sf_dir):
     """Window frame aggregation: cumulative order count + value per
     customer over time (running-total shape, deterministic int sums)."""
@@ -606,6 +624,72 @@ def q_extract_sitemap_locs(spark, sf_dir):
     ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "loc")
 
 
+def q_ftp_listing_parse(spark, sf_dir):
+    """S5 slice: unix `ls -l` listing grammar (name / mtime / is_dir,
+    reference parseLine FTPDefaultHandler.py:9-35) over deterministic
+    lines synthesized from the documents table."""
+    from artemis_spark.sources.ftp import parse_ls_line
+
+    docs = _t(spark, sf_dir, "documents")
+    n = F.col("doc_id").cast("long") % 3
+    line = (
+        F.when(
+            n == 0,
+            F.concat(F.lit("drwxr-xr-x 2 ftp ftp 4096 Jun 06 10:19 dir"), F.col("doc_id")),
+        )
+        .when(
+            n == 1,
+            F.concat(
+                F.lit("-rw-r--r-- 1 ftp ftp 1234 Jun 06 10:19 f"),
+                F.col("doc_id"),
+                F.lit(".bin"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("-rw-r--r-- 1 ftp ftp 999 Jan 16  2012 f"),
+                F.col("doc_id"),
+                F.lit(".tar"),
+            )
+        )
+    )
+    e = parse_ls_line(line, assume_year=2026)
+    return docs.select(
+        "doc_id",
+        e.getField("name").alias("name"),
+        e.getField("mtime_epoch").alias("mtime_epoch"),
+        e.getField("is_dir").alias("is_dir"),
+    )
+
+
+def q_auth_routing(spark, sf_dir):
+    """Auth routing skeleton (reference accreditationRules Task.py:12,41):
+    per-host rules broadcast-joined to candidate URLs; auth != 'no' rows
+    flagged deferred instead of fetched."""
+    cust = _t(spark, sf_dir, "customer")
+    cands = cust.select(
+        F.expr(_RAW_URL_SPARK).alias("raw"),
+        (F.col("c_custkey") % 50).cast("long").alias("hostnum"),
+    ).select(canonicalize(F.col("raw")).alias("url"), "hostnum")
+    rules = (
+        cands.select("hostnum")
+        .distinct()
+        .select(
+            "hostnum",
+            F.when(F.col("hostnum") % 17 == 7, F.lit("form"))
+            .when(F.col("hostnum") % 23 == 11, F.lit("http_basic"))
+            .alias("auth"),
+        )
+        .filter(F.col("auth").isNotNull())
+    )
+    return cands.join(F.broadcast(rules), "hostnum", "left").select(
+        "url",
+        "hostnum",
+        F.coalesce(F.col("auth"), F.lit("no")).alias("auth"),
+        (F.coalesce(F.col("auth"), F.lit("no")) != "no").alias("deferred"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "url_canonicalize": q_url_canonicalize,
@@ -638,10 +722,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordcount_topk": q_wordcount_topk,
         "extract_links_markup": q_extract_links_markup,
         "extract_sitemap_locs": q_extract_sitemap_locs,
+        "auth_routing": q_auth_routing,
+        "ftp_listing_parse": q_ftp_listing_parse,
         "crawl_round_tiny": q_crawl_round_tiny,
         "multimodal_decode": q_multimodal_decode,
         "ann_brute_topk": q_ann_brute_topk,
         "ann_bucketed": q_ann_bucketed,
+        "ann_bucketed_d8": q_ann_bucketed_d8,
+        "embedding_near_dup_banded": q_embedding_near_dup_banded,
     }
 
 
@@ -813,6 +901,62 @@ def _sitemap_locs_oracle_sql() -> str:
                generate_subscripts(locs, 1)::BIGINT AS pos,
                unnest(locs) AS loc
         FROM l"""
+
+
+def _sign_bucket_sql(d: int) -> str:
+    """DuckDB twin of similarity.sign_bucket at depth d."""
+    return " + ".join(
+        f"(CASE WHEN embedding[{i + 1}] > 0 THEN {2 ** i} ELSE 0 END)"
+        for i in range(d)
+    )
+
+
+def _band_key_sql(b: int, rb: int) -> str:
+    """DuckDB twin of similarity.band_keys band b (rb bits per band)."""
+    return " + ".join(
+        f"(CASE WHEN embedding[{b * rb + j + 1}] > 0 THEN {2 ** j} ELSE 0 END)"
+        for j in range(rb)
+    )
+
+
+def _ann_bucketed_oracle_sql(d: int, k: int = 3) -> str:
+    return f"""
+        WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                          {_sign_bucket_sql(d)} AS bucket
+                   FROM embeddings WHERE vec_id < 10),
+        c AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                     {_sign_bucket_sql(d)} AS bucket
+              FROM embeddings),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 round(list_cosine_similarity(q.v, c.v), 3) AS cos_sim
+          FROM q JOIN c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id)
+        SELECT query_id, rank, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+          FROM scored) WHERE rank <= {k}"""
+
+
+def _near_dup_banded_oracle_sql(d: int, bands: int, threshold_milli: int) -> str:
+    rb = d // bands
+    band_ctes = ",\n".join(
+        f"s{b} AS (SELECT vec_id, {_band_key_sql(b, rb)} AS key FROM embeddings)"
+        for b in range(bands)
+    )
+    cand_union = "\nUNION\n".join(
+        f"SELECT a.vec_id AS vec1, b.vec_id AS vec2 "
+        f"FROM s{b} a JOIN s{b} b ON a.key = b.key AND a.vec_id < b.vec_id"
+        for b in range(bands)
+    )
+    return f"""
+        WITH {band_ctes},
+        cand AS ({cand_union}),
+        v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT vec1, vec2,
+               round(list_cosine_similarity(x.v, y.v) * 1000)::BIGINT AS cos_milli
+        FROM cand JOIN v x ON x.vec_id = vec1 JOIN v y ON y.vec_id = vec2
+        WHERE round(list_cosine_similarity(x.v, y.v) * 1000) >= {threshold_milli}"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1038,4 +1182,49 @@ def oracle_sql() -> dict[str, str]:
               FROM scored) WHERE rank <= 3""",
         "extract_links_markup": _markup_links_oracle_sql(),
         "extract_sitemap_locs": _sitemap_locs_oracle_sql(),
+        "ann_bucketed_d8": _ann_bucketed_oracle_sql(8),
+        "ftp_listing_parse": """
+            WITH t AS (
+              SELECT doc_id,
+                CASE doc_id::BIGINT % 3
+                  WHEN 0 THEN 'drwxr-xr-x 2 ftp ftp 4096 Jun 06 10:19 dir' || doc_id
+                  WHEN 1 THEN '-rw-r--r-- 1 ftp ftp 1234 Jun 06 10:19 f' || doc_id || '.bin'
+                  ELSE '-rw-r--r-- 1 ftp ftp 999 Jan 16  2012 f' || doc_id || '.tar'
+                END AS line
+              FROM documents),
+            p AS (
+              SELECT doc_id,
+                     list_filter(string_split(trim(line), ' '), x -> x <> '') AS toks
+              FROM t),
+            e AS (
+              SELECT doc_id,
+                     CASE WHEN starts_with(toks[1], 'l') THEN toks[-3] ELSE toks[-1] END AS name,
+                     starts_with(toks[1], 'd') AS is_dir,
+                     CASE WHEN starts_with(toks[1], 'l') THEN toks[-6] ELSE toks[-4] END AS d1,
+                     CASE WHEN starts_with(toks[1], 'l') THEN toks[-5] ELSE toks[-3] END AS d2,
+                     CASE WHEN starts_with(toks[1], 'l') THEN toks[-4] ELSE toks[-2] END AS d3
+              FROM p)
+            SELECT doc_id, name,
+                   (CASE WHEN is_dir THEN -1
+                         ELSE coalesce(
+                           epoch(try_strptime('2026 ' || d1 || ' ' || d2 || ' ' || d3,
+                                              '%Y %b %d %H:%M')),
+                           epoch(try_strptime(d1 || ' ' || d2 || ' ' || d3, '%b %d %Y')),
+                           -1) END)::BIGINT AS mtime_epoch,
+                   is_dir
+            FROM e""",
+        "embedding_near_dup_banded": _near_dup_banded_oracle_sql(16, 2, 400),
+        "auth_routing": f"""
+            WITH c AS (
+              SELECT {_CANON_URL_SQL} AS url,
+                     (c_custkey % 50)::BIGINT AS hostnum
+              FROM customer),
+            r AS (
+              SELECT DISTINCT hostnum,
+                     CASE WHEN hostnum % 17 = 7 THEN 'form'
+                          WHEN hostnum % 23 = 11 THEN 'http_basic' END AS auth
+              FROM c WHERE hostnum % 17 = 7 OR hostnum % 23 = 11)
+            SELECT url, c.hostnum, coalesce(r.auth, 'no') AS auth,
+                   coalesce(r.auth, 'no') <> 'no' AS deferred
+            FROM c LEFT JOIN r ON c.hostnum = r.hostnum""",
     }

@@ -308,6 +308,19 @@ def gen_robots(spec: WebSpec) -> pd.DataFrame:
     )
 
 
+def gen_auth_rules(spec: WebSpec) -> pd.DataFrame:
+    """Per-host accreditation rules (/root/reference/src/Task.py:12,41):
+    hosts k%17==7 need a login form, k%23==11 http_basic; everyone else
+    defaults to 'no' (defaultdict semantics — absent row = no auth)."""
+    rows = []
+    for k in range(spec.n_hosts):
+        if k % 17 == 7:
+            rows.append({"host": host_name(k), "auth": "form"})
+        elif k % 23 == 11:
+            rows.append({"host": host_name(k), "auth": "http_basic"})
+    return pd.DataFrame(rows, columns=["host", "auth"])
+
+
 def gen_domain_rules(spec: WebSpec) -> pd.DataFrame:
     """Host blocklist (F3, /root/reference/src/Slave.py:138-139):
     hosts k%19==5 are blocked."""
@@ -342,6 +355,7 @@ def generate(tier: str, out_dir: str, epoch: int = 0) -> dict[str, str]:
         "link_graph": gen_link_graph(spec, epoch=epoch),
         "robots_rules": gen_robots(spec),
         "domain_rules": gen_domain_rules(spec),
+        "auth_rules": gen_auth_rules(spec),
         "seeds": gen_seeds(spec),
     }
     for name, df in tables.items():

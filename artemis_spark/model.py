@@ -29,6 +29,7 @@ from .schemas import MAX_REFRESH_RATE
 _SCHEME_RE = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.\-]*):")
 
 ROBOTS_BLOCKED_STATUS = 999
+AUTH_DEFERRED_STATUS = 998
 
 
 # ---------------------------------------------------------------------------
@@ -175,6 +176,13 @@ class ReferenceModel:
                 self.sitemap_of[r["host"]] = r["sitemap_url"]
         dr = pq.read_table(f"{web_dir}/domain_rules.parquet").to_pylist()
         self.blocked_hosts = {r["host"] for r in dr if not r["allowed"]}
+        # accreditationRules (reference Task.py:12,41): defaultdict-to-'no'
+        self.auth_rules: dict[str, str] = {}
+        try:
+            ar = pq.read_table(f"{web_dir}/auth_rules.parquet").to_pylist()
+            self.auth_rules = {r["host"]: r["auth"] for r in ar}
+        except FileNotFoundError:
+            pass
         self.seed_rows = pq.read_table(f"{web_dir}/seeds.parquet").to_pylist()
 
         self.seen: dict[str, SeenEntry] = {}
@@ -253,6 +261,15 @@ class ReferenceModel:
         # F5 robots
         allowed = [c for c in schedulable if self._robots_allowed(c["url"])]
         blocked = [c for c in schedulable if not self._robots_allowed(c["url"])]
+        # auth routing: auth-gated hosts are deferred, not fetched
+        auth_deferred = [
+            c for c in allowed
+            if self.auth_rules.get(host_of(c["url"]), "no") != "no"
+        ]
+        allowed = [
+            c for c in allowed
+            if self.auth_rules.get(host_of(c["url"]), "no") == "no"
+        ]
         # score + politeness top-k
         by_host: dict[str, list[dict]] = {}
         for c in allowed:
@@ -270,7 +287,9 @@ class ReferenceModel:
         next_frontier: list[tuple[str, int, str, int]] = []
         inlink_delta: dict[str, int] = {}
         fetched_urls = sorted(scheduled, key=lambda c: (c["host"], -c["score"], c["url"]))
-        for c in blocked:
+        for c, status in [(c, ROBOTS_BLOCKED_STATUS) for c in blocked] + [
+            (c, AUTH_DEFERRED_STATUS) for c in auth_deferred
+        ]:
             self.seen[c["url"]] = SeenEntry(
                 depth=c["depth"], score=0.0,
                 last_visited_round=c["last_visited"], last_controlled_round=r,
@@ -279,7 +298,8 @@ class ReferenceModel:
             )
             self.crawl_log.append(
                 dict(round=r, url=c["url"], host=host_of(c["url"]),
-                     status=ROBOTS_BLOCKED_STATUS, image_id=None, phash=None, caption=None)
+                     status=status, image_id=None, phash=None, caption=None,
+                     auth=self.auth_rules.get(host_of(c["url"]), "no"))
             )
         for c in scheduled:
             url = c["url"]
@@ -307,6 +327,7 @@ class ReferenceModel:
                     image_id=image_id if saved else None,
                     phash=(pay["phash"] if (saved and pay and not is_sitemap) else None),
                     caption=(pay["caption"] if (saved and pay and not is_sitemap) else None),
+                    auth="no",
                 )
             )
             if status in (301, 302, 307, 308) and location:

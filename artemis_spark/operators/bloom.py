@@ -17,16 +17,23 @@ exact regardless of FP rate.
 
 Scale notes (10^10 URLs): with S=4096 shards and ~10 bits/URL each
 shard is ~3 GB total / S ≈ 3 MB — the full dict broadcast is ~12 GB,
-too big for one executor; the scale path (documented here, same API) is
-to repartition candidates by shard id first and have each task load
-only its own shard from a side-stored file.  The sandbox uses the
-broadcast dict.
+too big for one executor.  The scale path is implemented in
+:func:`with_bloom_maybe_seen_shard_local`: candidates are repartitioned
+by shard id and each task lazily loads ONLY the shard files present in
+its partition (typically one), so per-task memory is O(m/8) regardless
+of S.  Shards are persisted one file per shard with hard-link reuse for
+shards untouched in a round (save_dir), the same incremental-snapshot
+shape as the bucketed url_seen store.  The broadcast probe remains the
+default at sandbox scale (64 x 128 KB) where one task per shard would
+cost more in scheduling than it saves.
 """
 
 from __future__ import annotations
 
 import io
+import json
 import os
+import shutil
 from typing import Iterator
 
 import numpy as np
@@ -92,20 +99,82 @@ class BloomShards:
 
     @classmethod
     def load(cls, path: str) -> "BloomShards":
+        if os.path.isdir(path):
+            return cls.load_dir(path)
         with open(path, "rb") as f:
             z = np.load(io.BytesIO(f.read()))
         obj = cls(z["bits"].shape[0], int(z["m"]), int(z["k"]))
         obj.bits = z["bits"]
         return obj
 
+    # -- per-shard directory format (scale path) ------------------------------
+
+    def save_dir(
+        self,
+        path: str,
+        prev_path: str | None = None,
+        dirty_shards: set[int] | None = None,
+    ) -> None:
+        """One file per shard; shards untouched this round are HARD-LINKED
+        from the previous version instead of rewritten (the incremental
+        rebuild the north_rule names; same shape as the bucketed url_seen
+        snapshots).  dirty_shards=None rewrites everything."""
+        tmp = path + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp)
+        with open(os.path.join(tmp, "meta.json"), "w") as f:
+            json.dump({"num_shards": self.num_shards, "m": self.m, "k": self.k}, f)
+        for s in range(self.num_shards):
+            dst = os.path.join(tmp, f"shard_{s:05d}.npy")
+            src = (
+                os.path.join(prev_path, f"shard_{s:05d}.npy") if prev_path else None
+            )
+            if (
+                dirty_shards is not None
+                and s not in dirty_shards
+                and src
+                and os.path.exists(src)
+            ):
+                os.link(src, dst)
+            else:
+                np.save(dst, self.bits[s])
+        # version dirs only become visible via the manifest commit, so a
+        # non-atomic swap here is safe (crashed leftovers are overwritten)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.replace(tmp, path)
+
+    @classmethod
+    def load_dir(cls, path: str) -> "BloomShards":
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        obj = cls(meta["num_shards"], meta["m"], meta["k"])
+        for s in range(obj.num_shards):
+            obj.bits[s] = np.load(os.path.join(path, f"shard_{s:05d}.npy"))
+        return obj
+
+    @staticmethod
+    def load_one_shard(path: str, shard: int) -> np.ndarray:
+        return np.load(os.path.join(path, f"shard_{shard:05d}.npy"))
+
+    @staticmethod
+    def dir_meta(path: str) -> dict:
+        with open(os.path.join(path, "meta.json")) as f:
+            return json.load(f)
+
     # -- Spark integration ----------------------------------------------------
 
-    def update_from_df(self, df: DataFrame, url_col: str = "url", host_col: str = "host") -> None:
+    def update_from_df(
+        self, df: DataFrame, url_col: str = "url", host_col: str = "host"
+    ) -> set[int]:
         """Incrementally add a round's new URLs, built distributed.
 
         Each shard's partial bitset is built inside an ``applyInPandas``
         task (vectorized hashing), and only S small bitsets are collected
-        and OR-merged — no raw URLs cross to the driver.
+        and OR-merged — no raw URLs cross to the driver.  Returns the set
+        of shard ids that received updates (drives the incremental
+        save_dir hard-link reuse).
         """
         m = self.m
         k = self.k
@@ -125,6 +194,7 @@ class BloomShards:
         )
         for row in partials:
             self.merge_partial(row["shard"], row["bits"])
+        return {int(row["shard"]) for row in partials}
 
 
 def with_bloom_maybe_seen(
@@ -153,4 +223,55 @@ def with_bloom_maybe_seen(
     return candidates.withColumn(
         "maybe_seen",
         probe(F.col(url_col), host_partition_key(F.col(host_col), S)),
+    )
+
+
+def with_bloom_maybe_seen_shard_local(
+    candidates: DataFrame,
+    bloom_dir: str,
+    num_partitions: int,
+    url_col: str = "url",
+    host_col: str = "host",
+) -> DataFrame:
+    """Scale-path bloom probe: no broadcast of the bitset dict.
+
+    Candidates are repartitioned by shard id; each task lazily loads only
+    the shard files appearing in its partition (typically one), so peak
+    executor memory is O(bits_per_shard) however many shards exist — at
+    the 4096-shard / 12 GB-total scale the broadcast probe cannot run,
+    this one can.  On a cluster ``bloom_dir`` is object-store-backed; the
+    per-task load is the same read Iceberg does for a metadata file.
+
+    Output is identical to :func:`with_bloom_maybe_seen` over the same
+    saved shards (asserted by the crawl invariance test).
+    """
+    meta = BloomShards.dir_meta(bloom_dir)
+    S, m, k = meta["num_shards"], meta["m"], meta["k"]
+    out_schema = T.StructType(
+        candidates.schema.fields + [T.StructField("maybe_seen", T.BooleanType())]
+    )
+    cols = [f.name for f in out_schema.fields]
+
+    def probe_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        loaded: dict[int, BloomShards] = {}
+        for pdf in batches:
+            res = np.zeros(len(pdf), dtype=bool)
+            for shard, idx in pdf.groupby("_shard").indices.items():
+                shard = int(shard)
+                one = loaded.get(shard)
+                if one is None:
+                    one = BloomShards(1, m, k)
+                    one.bits[0] = BloomShards.load_one_shard(bloom_dir, shard)
+                    loaded[shard] = one
+                res[idx] = one.might_contain(
+                    np.zeros(len(idx), dtype=np.int64),
+                    pdf[url_col].iloc[idx].reset_index(drop=True),
+                )
+            yield pdf.assign(maybe_seen=res)[cols]
+
+    shard_col = host_partition_key(F.col(host_col), S)
+    return (
+        candidates.withColumn("_shard", shard_col)
+        .repartition(num_partitions, "_shard")
+        .mapInPandas(probe_batches, schema=out_schema)
     )

@@ -128,6 +128,139 @@ def bucketed_ann_topk(
     )
 
 
+def band_keys(vec, d: int, bands: int) -> F.Column:
+    """Banded sign signature: d sign bits split into ``bands`` bands of
+    d/bands bits, returned as array<struct<band:int, key:int>>.
+
+    This is OR-amplified LSH for cosine (same banding trick as the
+    MinHash path in dedup_text.py): two vectors are candidates if ANY
+    band matches, so recall grows with bands while each band's 2^(d/bands)
+    buckets keep within-bucket populations ~N/2^(d/bands) — the fix for
+    the d=3 quantizer whose 8 buckets made within-bucket work quadratic
+    at scale (VERDICT r01).  All native expressions, DuckDB-reproducible.
+    """
+    rb = d // bands
+    entries = []
+    for b in range(bands):
+        key = F.lit(0)
+        for j in range(rb):
+            i = b * rb + j
+            key = key + F.when(
+                F.element_at(vec, i + 1) > 0, F.lit(2 ** j)
+            ).otherwise(F.lit(0))
+        entries.append(F.struct(F.lit(b).alias("band"), key.alias("key")))
+    return F.array(*entries)
+
+
+def _banded_sig(
+    embeddings: DataFrame,
+    d: int,
+    bands: int,
+    max_bucket: int | None,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, vec, band, key) rows, optionally capped per (band, key).
+
+    ``max_bucket`` bounds the worst-case within-bucket pair count
+    explicitly (hot-bucket cap, deterministic by id order) — the
+    documented recall/cost trade for pathological distributions where a
+    bucket degenerates toward N.
+    """
+    sig = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        F.explode(band_keys(F.col(vec_col), d, bands)).alias("_bk"),
+    ).select("_id", "_vec", F.col("_bk.band").alias("band"), F.col("_bk.key").alias("key"))
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "key").orderBy("_id")
+        sig = (
+            sig.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= max_bucket)
+            .drop("_rn")
+        )
+    return sig
+
+
+def banded_ann_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    d: int = 16,
+    bands: int = 2,
+    max_bucket: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k with banded sign-LSH candidates (multi-probe via
+    OR across bands): per-band equi-joins replace both the all-pairs
+    cross join AND the d=3 coarse buckets.  Candidate pairs are deduped
+    across bands before the exact cosine so each pair is scored once."""
+    q = _banded_sig(queries, d, bands, None, id_col, vec_col).withColumnsRenamed(
+        {"_id": "query_id", "_vec": "q_vec"}
+    )
+    c = _banded_sig(embeddings, d, bands, max_bucket, id_col, vec_col).withColumnsRenamed(
+        {"_id": "neighbor_id", "_vec": "c_vec"}
+    )
+    cand = (
+        c.join(F.broadcast(q), ["band", "key"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn(
+        "cos_sim",
+        F.round(
+            cosine_expr(
+                F.col("q_vec").cast("array<double>"), F.col("c_vec").cast("array<double>")
+            ),
+            3,
+        ),
+    ).select("query_id", "neighbor_id", "cos_sim")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )
+
+
+def embedding_near_dup_pairs_banded(
+    embeddings: DataFrame,
+    d: int = 16,
+    bands: int = 2,
+    threshold_milli: int = 400,
+    max_bucket: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs with banded sign-LSH candidate generation — the
+    at-scale replacement for the d=3 bucket self-join (8 buckets →
+    (N/8)^2 pair work; here each band has 2^(d/bands) buckets and pairs
+    are deduped across bands before exact-cosine verification)."""
+    a = _banded_sig(embeddings, d, bands, max_bucket, id_col, vec_col).withColumnsRenamed(
+        {"_id": "vec1", "_vec": "a_vec"}
+    )
+    b = _banded_sig(embeddings, d, bands, max_bucket, id_col, vec_col).withColumnsRenamed(
+        {"_id": "vec2", "_vec": "b_vec"}
+    )
+    pairs = (
+        a.join(b, ["band", "key"])
+        .where(F.col("vec1") < F.col("vec2"))
+        .dropDuplicates(["vec1", "vec2"])
+    )
+    cos_milli = F.round(
+        cosine_expr(
+            F.col("a_vec").cast("array<double>"), F.col("b_vec").cast("array<double>")
+        )
+        * 1000
+    ).cast("long")
+    return (
+        pairs.withColumn("cos_milli", cos_milli)
+        .where(F.col("cos_milli") >= threshold_milli)
+        .select("vec1", "vec2", "cos_milli")
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     d: int = 3,

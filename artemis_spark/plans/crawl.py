@@ -22,6 +22,7 @@ equivalents are cited per stage in the operator modules.
 from __future__ import annotations
 
 import json
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -36,7 +37,11 @@ from ..functions.urls import (
     resolve_url,
     scheme_of,
 )
-from ..operators.bloom import BloomShards, with_bloom_maybe_seen
+from ..operators.bloom import (
+    BloomShards,
+    with_bloom_maybe_seen,
+    with_bloom_maybe_seen_shard_local,
+)
 from ..operators.dedup import (
     as_new,
     bump_refresh_rate,
@@ -53,6 +58,7 @@ from ..sources.state import StateStore
 from .. import schemas as S
 
 ROBOTS_BLOCKED_STATUS = 999  # crawl_log marker for robots-rejected URLs
+AUTH_DEFERRED_STATUS = 998  # crawl_log marker for auth-gated (deferred) URLs
 
 CANDIDATE_COLS = ["url", "host", "depth", "nature", "round_added"]
 
@@ -85,6 +91,10 @@ class CrawlConfig:
     allowed_fmts: tuple[str, ...] = ("png", "jpeg")  # F6 content-type gate
     bloom_bits_per_shard: int = 1 << 20
     bloom_shards: int = 64
+    # Scale-path probe: repartition candidates by shard id, each task loads
+    # only its shard file (no S*m/8 broadcast).  Default False: at sandbox
+    # shard sizes the broadcast is cheaper; at 4096x3MB it is mandatory.
+    bloom_shard_local: bool = False
     # url_seen is stored partitioned by pmod(xxhash64(host), state_buckets);
     # a round rewrites only buckets containing updates and hard-links the
     # rest (Iceberg-manifest analogue) — O(dirty) not O(|state|) per round.
@@ -127,17 +137,34 @@ class CrawlEngine:
         self.has_markup = "body" in self.link_graph.columns
         self.robots = spark.read.parquet(f"{web_dir}/robots_rules.parquet")
         self.domain_rules = spark.read.parquet(f"{web_dir}/domain_rules.parquet")
+        # per-host accreditation rules (reference Task.py:12,41); absent
+        # file (pre-auth fixtures) == empty table == everything auth='no'.
+        # Explicit casts: empty/all-NULL parquet columns arrive VOID-typed.
+        auth_path = f"{web_dir}/auth_rules.parquet"
+        if os.path.exists(auth_path):
+            self.auth_rules = spark.read.parquet(auth_path).select(
+                F.col("host").cast("string").alias("host"),
+                F.col("auth").cast("string").alias("auth"),
+            )
+        else:
+            self.auth_rules = spark.createDataFrame([], S.AUTH_RULES_SCHEMA)
         self.seeds = spark.read.parquet(self.seeds_path)
         self._bloom: BloomShards | None = None
 
     # ------------------------------------------------------------------ state
 
+    def _bloom_path(self, v: int) -> str:
+        return f"{self.store.root}/bloom/v{v}"
+
     @property
     def bloom(self) -> BloomShards:
         if self._bloom is None:
-            path = f"{self.store.root}/bloom/v{self.store.current_version('bloom')}.npz"
-            if self.store.current_version("bloom") >= 0:
-                self._bloom = BloomShards.load(path)
+            v = self.store.current_version("bloom")
+            if v >= 0:
+                legacy = self._bloom_path(v) + ".npz"  # pre-r2 single-file format
+                self._bloom = BloomShards.load(
+                    legacy if os.path.exists(legacy) else self._bloom_path(v)
+                )
             else:
                 self._bloom = BloomShards(self.cfg.bloom_shards, self.cfg.bloom_bits_per_shard)
         return self._bloom
@@ -217,21 +244,80 @@ class CrawlEngine:
 
         # F1 bloom pre-filter -> F4 exact validate
         url_seen = self.store.read("url_seen", URL_SEEN_SCHEMA)
-        probed = with_bloom_maybe_seen(self.spark, candidates, self.bloom)
+        bloom_v = self.store.current_version("bloom")
+        if (
+            cfg.bloom_shard_local
+            and bloom_v >= 0
+            and os.path.isdir(self._bloom_path(bloom_v))
+        ):
+            probed = with_bloom_maybe_seen_shard_local(
+                candidates, self._bloom_path(bloom_v), cfg.num_partitions
+            )
+        else:
+            # broadcast probe (also round 0 / legacy-npz states, where no
+            # per-shard directory exists yet)
+            probed = with_bloom_maybe_seen(self.spark, candidates, self.bloom)
         definitely_new, maybe_seen = split_by_bloom(probed)
         schedulable = as_new(definitely_new).unionByName(
             validate_against_seen(maybe_seen, url_seen, r, cfg.revisit_delay_rounds)
         )
 
-        # F5 robots (broadcast, longest-match) before budget is spent.
-        # The rules table is re-read (≙ re-fetched) each round, so rules are
-        # always fresh here; TTL expiry itself is unit-tested separately.
-        fresh_robots = self.robots.withColumn("fetched_at", F.lit(now))
-        allowed, robots_blocked = apply_robots(schedulable, fresh_robots, now)
+        # F5 robots with an honest TTL cache (/root/reference/src/Robot.py:91-98):
+        # per-host rules carry their REAL fetch time in the persisted
+        # robots_cache table.  Hosts needed this round whose entry is
+        # missing or TTL-expired are re-fetched (in-sandbox: re-read from
+        # the live robots source) and stamped fetched_at=now; live entries
+        # are served from cache even if the source changed — exactly the
+        # staleness window a real crawler has.  Rule-less hosts get a
+        # NULL-pattern sentinel row so they are not re-fetched every round
+        # (negative caching, ≙ RobotCache caching empty parsers).
+        robots_cache = self.store.read("robots_cache", S.ROBOTS_SCHEMA)
+        live_hosts = (
+            robots_cache.filter(
+                F.unix_timestamp(F.lit(now))
+                <= F.unix_timestamp("fetched_at") + F.col("ttl_s")
+            )
+            .select("host")
+            .distinct()
+        )
+        need = candidates.select("host").distinct().join(
+            F.broadcast(live_hosts), "host", "left_anti"
+        )
+        # explicit casts: an all-NULL column in a user-supplied robots
+        # parquet arrives VOID-typed and corrupts downstream unions
+        refreshed = need.join(
+            F.broadcast(self.robots.drop("fetched_at")), "host", "left"
+        ).select(
+            "host",
+            F.col("pattern").cast("string").alias("pattern"),
+            F.col("allow").cast("boolean").alias("allow"),
+            F.col("sitemap_url").cast("string").alias("sitemap_url"),
+            F.lit(now).alias("fetched_at"),
+            F.coalesce(F.col("ttl_s").cast("int"), F.lit(3600)).alias("ttl_s"),
+        )
+        new_cache = (
+            robots_cache.join(
+                F.broadcast(refreshed.select("host").distinct()), "host", "left_anti"
+            ).unionByName(refreshed)
+        ).cache()
+        allowed, robots_blocked = apply_robots(schedulable, new_cache, now)
+
+        # Auth routing skeleton (accreditationRules, reference Task.py:12,41;
+        # AuthNature Task.py:22-27): auth-gated hosts are flagged into a
+        # deferred stream instead of being silently fetched as plain URLs —
+        # the hook an accreditation-enabled fetcher would consume.
+        aw = allowed.join(F.broadcast(self.auth_rules), "host", "left").withColumn(
+            "auth", F.coalesce(F.col("auth"), F.lit("no"))
+        )
+        fetchable = aw.filter(F.col("auth") == "no").drop("auth")
+        auth_deferred = aw.filter(F.col("auth") != "no").cache()
+        robots_blocked = robots_blocked.join(
+            F.broadcast(self.auth_rules), "host", "left"
+        ).withColumn("auth", F.coalesce(F.col("auth"), F.lit("no")))
 
         # §2.6 priority + politeness top-k
         host_stats = self.store.read("host_stats", HOST_STATS_SCHEMA)
-        scored = with_score(allowed, host_stats)
+        scored = with_score(fetchable, host_stats)
         scheduled, deferred = politeness_topk(scored, cfg.politeness_budget)
         scheduled = scheduled.cache()
         deferred = deferred.cache()
@@ -314,6 +400,7 @@ class CrawlEngine:
             F.when(F.col("saved"), F.col("caption")).alias("caption"),
             payload_ok.alias("payload_ok"),
             F.lit(now).alias("fetched_at"),
+            F.lit("no").alias("auth"),  # auth != 'no' is never fetched
         ).unionByName(
             robots_blocked.select(
                 F.lit(r).alias("round"),
@@ -325,6 +412,20 @@ class CrawlEngine:
                 F.lit(None).cast("string").alias("caption"),
                 F.lit(None).cast("boolean").alias("payload_ok"),
                 F.lit(now).alias("fetched_at"),
+                "auth",
+            )
+        ).unionByName(
+            auth_deferred.select(
+                F.lit(r).alias("round"),
+                "url",
+                "host",
+                F.lit(AUTH_DEFERRED_STATUS).alias("status"),
+                F.lit(None).cast("string").alias("image_id"),
+                F.lit(None).cast("long").alias("phash"),
+                F.lit(None).cast("string").alias("caption"),
+                F.lit(None).cast("boolean").alias("payload_ok"),
+                F.lit(now).alias("fetched_at"),
+                "auth",
             )
         )
 
@@ -366,7 +467,9 @@ class CrawlEngine:
             .cache()
         )
 
-        sitemaps = sitemap_candidates(self.robots, scheduled).select(
+        # sitemap discovery reads the robots CACHE (sitemaps are found when
+        # robots is fetched/parsed, Robot.py:78-79,134-137)
+        sitemaps = sitemap_candidates(new_cache, scheduled).select(
             "url", host_of(F.col("url")).alias("host"), F.lit(0).alias("depth")
         )
         redirect_cands = redirects.withColumn("host", host_of(F.col("url")))
@@ -406,7 +509,7 @@ class CrawlEngine:
             "nature",
             F.col("round_added"),
         ).unionByName(
-            robots_blocked.select(
+            robots_blocked.unionByName(auth_deferred).select(
                 "url",
                 "host",
                 scheme_of(F.col("url")).alias("scheme"),
@@ -448,9 +551,13 @@ class CrawlEngine:
             else url_seen.withColumn("bucket", bucket_of(F.col("host")))
         )
         upd = seen_updates.withColumn("bucket", bucket_of(F.col("host")))
+        # This collect doubles as the one up-front materialization of the
+        # shared seen_updates cache (it replaces the pre-fan-out count()):
+        # every persist job below reuses the cached rows.
         dirty_buckets = sorted(
             int(x["bucket"]) for x in upd.select("bucket").distinct().collect()
         )
+        _mark("seen_updates_materialize")
         is_dirty = (
             F.col("bucket").isin(dirty_buckets) if dirty_buckets else F.lit(False)
         )
@@ -551,10 +658,6 @@ class CrawlEngine:
         # serializing.  Nothing is visible until the manifest commit.
         from concurrent.futures import ThreadPoolExecutor
 
-        # materialize the shared cache once before fan-out
-        seen_updates.count()
-        _mark('seen_updates_count')
-
         def _crawl_log():
             self.store.append_round("crawl_log", crawl_log, r)
 
@@ -574,24 +677,40 @@ class CrawlEngine:
         def _frontier():
             return self.store.write_version("frontier", next_frontier)
 
+        def _robots_cache():
+            return self.store.write_version("robots_cache", new_cache)
+
         def _bloom():
-            # incremental bloom update with this round's newly-seen URLs
-            self.bloom.update_from_df(seen_updates.select("url", "host"))
+            # incremental bloom update with this round's newly-seen URLs;
+            # untouched shard files are hard-linked from the prior version
+            dirty_shards = self.bloom.update_from_df(seen_updates.select("url", "host"))
             bv = self.store.current_version("bloom") + 1
-            self.bloom.save(f"{self.store.root}/bloom/v{bv}.npz")
+            prev = self._bloom_path(bv - 1)
+            self.bloom.save_dir(
+                self._bloom_path(bv),
+                prev_path=prev if os.path.isdir(prev) else None,
+                dirty_shards=dirty_shards,
+            )
             return bv
 
-        with ThreadPoolExecutor(max_workers=6) as pool:
+        with ThreadPoolExecutor(max_workers=7) as pool:
             f_log = pool.submit(_crawl_log)
             f_lin = pool.submit(_lineage)
             f_uv = pool.submit(_merge)
             f_hv = pool.submit(_stats)
             f_fv = pool.submit(_frontier)
             f_bv = pool.submit(_bloom)
+            f_rv = pool.submit(_robots_cache)
             f_log.result()
             f_lin.result()
-            uv, hv, fv, bv = f_uv.result(), f_hv.result(), f_fv.result(), f_bv.result()
-        self.store.commit(r, {"url_seen": uv, "host_stats": hv, "frontier": fv, "bloom": bv})
+            uv, hv, fv, bv, rv = (
+                f_uv.result(), f_hv.result(), f_fv.result(), f_bv.result(), f_rv.result()
+            )
+        self.store.commit(
+            r,
+            {"url_seen": uv, "host_stats": hv, "frontier": fv, "bloom": bv,
+             "robots_cache": rv},
+        )
         # GC: superseded versions are unreachable once the manifest moved on;
         # keep one prior snapshot for post-hoc inspection (Iceberg's
         # expire_snapshots analogue)
@@ -611,11 +730,13 @@ class CrawlEngine:
             scheduled,
             deferred,
             robots_blocked,
+            auth_deferred,
             fetched,
             extracted_with_depth,
             seen_updates,
             next_frontier,
             merged_dirty,
+            new_cache,
             lineage,
         ):
             df.unpersist()

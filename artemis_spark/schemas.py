@@ -40,6 +40,19 @@ URL_SEEN_SCHEMA = FRONTIER_SCHEMA  # same shape; url_seen is the state table
 # classified but not fetched in-sandbox (SURVEY.md S4/S6 out of scope).
 NATURES = ("web_static", "web_static_torrent", "web_static_tor", "web_static_sitemap")
 
+# AuthNature (/root/reference/src/Task.py:22-27); assigned per host from
+# accreditationRules (/root/reference/src/Task.py:12,41).  auth != 'no'
+# URLs are routed to a deferred/flagged stream, not silently fetched —
+# in-sandbox there is no accreditation store (SURVEY.md §1.1(9)).
+AUTH_NATURES = ("no", "form", "http_basic", "http_digest", "ftp")
+
+AUTH_RULES_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("auth", T.StringType(), True),
+    ]
+)
+
 MAX_REFRESH_RATE = 20  # /root/reference/src/Task.py:9
 
 # ---------------------------------------------------------------------------
@@ -104,6 +117,7 @@ CRAWL_LOG_SCHEMA = T.StructType(
         T.StructField("caption", T.StringType(), True),
         T.StructField("payload_ok", T.BooleanType(), True),
         T.StructField("fetched_at", T.TimestampType(), True),
+        T.StructField("auth", T.StringType(), True),  # AuthNature marker
     ]
 )
 

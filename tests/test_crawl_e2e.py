@@ -50,7 +50,9 @@ def test_crawl_order_matches_model(engine_run, model_run):
     log = _engine_log(eng)
     for r in range(N_ROUNDS):
         eng_urls = sorted(
-            row["url"] for row in log if row["round"] == r and row["status"] != 999
+            row["url"]
+            for row in log
+            if row["round"] == r and row["status"] not in (998, 999)
         )
         mod_urls = sorted(result["rounds"][r]) if r < len(result["rounds"]) else []
         assert eng_urls == mod_urls, f"round {r} fetch set diverged"
@@ -61,11 +63,11 @@ def test_crawl_log_rows_match_model(engine_run, model_run):
     model, result = model_run
     key = lambda d: (d["round"], d["url"])
     eng_rows = {
-        key(r): (r["status"], r["image_id"], r["phash"], r["caption"])
+        key(r): (r["status"], r["image_id"], r["phash"], r["caption"], r["auth"])
         for r in _engine_log(eng)
     }
     mod_rows = {
-        key(r): (r["status"], r["image_id"], r["phash"], r["caption"])
+        key(r): (r["status"], r["image_id"], r["phash"], r["caption"], r["auth"])
         for r in result["crawl_log"]
     }
     assert eng_rows == mod_rows
@@ -170,6 +172,38 @@ def test_markup_extraction_equals_outlink_join(spark, tmp_path, tiny_web):
         for r in e.store.read("url_seen").collect()
     }
     assert seen(markup) == seen(legacy)
+
+
+def test_shard_local_bloom_same_results(spark, tmp_path, tiny_web):
+    """The shard-local bloom probe (scale path: no bitset broadcast) must
+    leave every crawl output unchanged — it is a physical probe strategy
+    only; exactness is guaranteed by the downstream anti-join either way."""
+    from artemis_spark.plans.crawl import CrawlConfig, CrawlEngine
+
+    base = CrawlEngine(
+        spark, tiny_web, str(tmp_path / "bcast"),
+        CrawlConfig(politeness_budget=5, num_partitions=4, bloom_shards=8),
+    )
+    base.run(3)
+    local = CrawlEngine(
+        spark, tiny_web, str(tmp_path / "shardlocal"),
+        CrawlConfig(politeness_budget=5, num_partitions=4, bloom_shards=8,
+                    bloom_shard_local=True),
+    )
+    local.run(3)
+
+    def log(eng):
+        return {
+            (r["round"], r["url"], r["status"], r["image_id"], r["phash"])
+            for r in eng.store.read_appended("crawl_log").collect()
+        }
+
+    assert log(local) == log(base)
+    seen = lambda e: {
+        (r["url"], r["last_hash"], r["refresh_rate"])
+        for r in e.store.read("url_seen").collect()
+    }
+    assert seen(local) == seen(base)
 
 
 def test_salted_fetch_wave_same_results(spark, tmp_path, tiny_web):
