@@ -48,14 +48,12 @@ def decode_stats(df: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
+            for image_id, blob, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
                 try:
-                    px = _decode(row["bytes"], row["fmt"])
-                    out.append((row["image_id"], px.shape[1], px.shape[0], row["fmt"], True, dhash64(px)))
-                except NotImplementedError:
-                    out.append((row["image_id"], None, None, row["fmt"], False, None))
-                except Exception:
-                    out.append((row["image_id"], None, None, row["fmt"], False, None))
+                    px = _decode(blob, fmt)
+                    out.append((image_id, px.shape[1], px.shape[0], fmt, True, dhash64(px)))
+                except Exception:  # incl. NotImplementedError codec stubs
+                    out.append((image_id, None, None, fmt, False, None))
             yield pd.DataFrame(
                 out, columns=["image_id", "w", "h", "fmt", "ok", "phash"]
             ).astype({"w": "Int32", "h": "Int32", "phash": "Int64"})
@@ -70,9 +68,9 @@ def resize_images(df: DataFrame, target: int = 16) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
+            for image_id, blob, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
                 try:
-                    px = _decode(row["bytes"], row["fmt"])
+                    px = _decode(blob, fmt)
                     small = np.stack(
                         [
                             np.array(
@@ -85,7 +83,7 @@ def resize_images(df: DataFrame, target: int = 16) -> DataFrame:
                         ],
                         axis=-1,
                     ).astype(np.uint8)
-                    out.append((row["image_id"], encode_rgb(small), target, target))
+                    out.append((image_id, encode_rgb(small), target, target))
                 except Exception:
                     continue
             yield pd.DataFrame(out, columns=["image_id", "bytes", "w", "h"])
@@ -99,11 +97,11 @@ def luma_features(df: DataFrame, bins: int = 16) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
+            for image_id, blob, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
                 try:
-                    g = to_gray(_decode(row["bytes"], row["fmt"]))
+                    g = to_gray(_decode(blob, fmt))
                     hist, _ = np.histogram(g, bins=bins, range=(0, 256))
-                    out.append((row["image_id"], hist.astype(int).tolist(), round(float(g.mean()), 4)))
+                    out.append((image_id, hist.astype(int).tolist(), round(float(g.mean()), 4)))
                 except Exception:
                     continue
             yield pd.DataFrame(out, columns=["image_id", "luma_hist", "mean_luma"])
@@ -134,8 +132,8 @@ def sample_frames(df: DataFrame, every_k: int = 2) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                blob = bytes(row["bytes"])
+            for video_id, raw in zip(pdf["video_id"], pdf["bytes"]):
+                blob = bytes(raw)
                 n = int.from_bytes(blob[:4], "big")
                 pos = 4
                 for i in range(n):
@@ -143,7 +141,7 @@ def sample_frames(df: DataFrame, every_k: int = 2) -> DataFrame:
                     frame = blob[pos + 4 : pos + 4 + ln]
                     pos += 4 + ln
                     if i % every_k == 0:
-                        out.append((row["video_id"], i, frame))
+                        out.append((video_id, i, frame))
             yield pd.DataFrame(out, columns=["video_id", "frame_idx", "bytes"])
 
     return df.select("video_id", "bytes").mapInPandas(run, FRAMES_SCHEMA)

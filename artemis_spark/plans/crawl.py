@@ -666,10 +666,15 @@ class CrawlEngine:
 
         def _merge():
             # incremental MERGE INTO emulation: write dirty buckets, link
-            # the rest (sources/state.py write_version_bucketed)
-            return self.store.write_version_bucketed(
-                "url_seen", merged_dirty, dirty_buckets
+            # the rest (sources/state.py write_version_bucketed).  The
+            # repartition-by-bucket keeps the layout at ~1 file per bucket:
+            # without it every (writer partition x bucket) pair emits its
+            # own tiny file and the next round's state scan degenerates
+            # into thousands of one-file tasks.
+            df = merged_dirty.repartition(
+                max(1, min(cfg.num_partitions, len(dirty_buckets))), "bucket"
             )
+            return self.store.write_version_bucketed("url_seen", df, dirty_buckets)
 
         def _stats():
             return self.store.write_version("host_stats", merged_stats)
