@@ -24,7 +24,10 @@ def plan_of(df) -> str:
     details = "\n".join(
         line.strip()[:200]
         for line in txt.splitlines()
-        if re.search(r"PushedFilters|ReadSchema|Arguments: hashpartitioning|Join type", line)
+        if re.search(
+            r"PushedFilters|PartitionFilters|ReadSchema|Arguments: hashpartitioning|Join type",
+            line,
+        )
     )
     return tree + "\n-- scan/exchange details --\n" + details
 
@@ -88,7 +91,32 @@ def main() -> None:
         plan_of(dedupe_within_batch(cands)),
     ))
 
-    # 3. headline oracle queries: pushdown + broadcast evidence
+    # 3. markup extraction — all-JVM regexp inside codegen, no Python eval
+    from artemis_spark.functions.markup import extract_outlinks
+
+    ex_df = eng.web.select(
+        extract_outlinks(F.col("body"), F.lit("web_static")).alias("ex")
+    )
+    sections.append((
+        "Markup link extraction (T2/T3) — MUST contain NO ArrowEvalPython/"
+        "BatchEvalPython node: the href/src/base/<loc> grammar is native "
+        "regexp expressions fused into whole-stage codegen, so the hottest "
+        "per-byte loop of the crawl never crosses into Python.",
+        plan_of(ex_df),
+    ))
+
+    # 4. bucketed url_seen dirty scan — partition pruning on bucket
+    eng.run(1)
+    seen = eng.store.read("url_seen")
+    sections.append((
+        "url_seen dirty-bucket scan — MUST show PartitionFilters on the "
+        "bucket partition column (the incremental MERGE reads only dirty "
+        "buckets; clean buckets are hard-linked, never scanned or "
+        "rewritten).",
+        plan_of(seen.filter(F.col("bucket").isin(3, 7))),
+    ))
+
+    # 5. headline oracle queries: pushdown + broadcast evidence
     for name, why in [
         ("dedup_anti_join", "BroadcastHashJoin LeftAnti; the seen-side filter "
                             "l_returnflag='R' is pushed into the parquet scan "
