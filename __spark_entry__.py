@@ -528,9 +528,11 @@ def q_crawl_round_tiny(spark, sf_dir):
     from artemis_spark.plans.crawl import CrawlConfig, CrawlEngine
 
     web = os.path.join(tempfile.gettempdir(), "artemis_query_web_tiny")
-    if not os.path.exists(os.path.join(web, "_DONE")):
+    # marker versioned with the fixture format (v2: body + auth_rules) so a
+    # cached pre-upgrade web dir is regenerated, not silently reused
+    if not os.path.exists(os.path.join(web, "_DONE_v2")):
         generate("tiny", web)
-        open(os.path.join(web, "_DONE"), "w").close()
+        open(os.path.join(web, "_DONE_v2"), "w").close()
     state = tempfile.mkdtemp(prefix="artemis_query_state_")
     shutil.rmtree(state, ignore_errors=True)
     eng = CrawlEngine(
@@ -844,10 +846,12 @@ def _sq(s: str) -> str:
     return s.replace("'", "''")
 
 
-_SQL_UNESCAPE = (
-    "replace(replace(replace(replace(replace(x, '&lt;', '<'), '&gt;', '>'), "
-    "'&quot;', '\"'), '&#39;', chr(39)), '&amp;', '&')"
-)
+def _sql_unescape(expr: str) -> str:
+    """DuckDB twin of markup.unescape_entities applied to ``expr``."""
+    return (
+        f"replace(replace(replace(replace(replace({expr}, '&lt;', '<'), "
+        "'&gt;', '>'), '&quot;', '\"'), '&#39;', chr(39)), '&amp;', '&')"
+    )
 
 
 def _markup_links_oracle_sql() -> str:
@@ -869,12 +873,12 @@ def _markup_links_oracle_sql() -> str:
           FROM t),
         l AS (
           SELECT doc_id,
-                 nullif(regexp_extract(body, '{_sq(BASE_HREF_RE)}', 1), '') AS base,
+                 {_sql_unescape(f"nullif(regexp_extract(body, '{_sq(BASE_HREF_RE)}', 1), '')")} AS base,
                  list_transform(
                    list_concat(
                      regexp_extract_all(stripped, '{_sq(HREF_DQ_RE)}', 1),
                      regexp_extract_all(stripped, '{_sq(HREF_SQ_RE)}', 1)),
-                   x -> {_SQL_UNESCAPE}) AS links
+                   x -> {_sql_unescape("x")}) AS links
           FROM s)
         SELECT doc_id, base,
                generate_subscripts(links, 1)::BIGINT AS pos,
@@ -895,7 +899,7 @@ def _sitemap_locs_oracle_sql() -> str:
           SELECT doc_id,
                  list_transform(
                    regexp_extract_all(body, '{_sq(LOC_RE)}', 1),
-                   x -> {_SQL_UNESCAPE}) AS locs
+                   x -> {_sql_unescape("x")}) AS locs
           FROM t)
         SELECT doc_id,
                generate_subscripts(locs, 1)::BIGINT AS pos,

@@ -300,20 +300,20 @@ class CrawlEngine:
                 F.broadcast(refreshed.select("host").distinct()), "host", "left_anti"
             ).unionByName(refreshed)
         ).cache()
-        allowed, robots_blocked = apply_robots(schedulable, new_cache, now)
-
-        # Auth routing skeleton (accreditationRules, reference Task.py:12,41;
-        # AuthNature Task.py:22-27): auth-gated hosts are flagged into a
-        # deferred stream instead of being silently fetched as plain URLs —
-        # the hook an accreditation-enabled fetcher would consume.
-        aw = allowed.join(F.broadcast(self.auth_rules), "host", "left").withColumn(
-            "auth", F.coalesce(F.col("auth"), F.lit("no"))
-        )
-        fetchable = aw.filter(F.col("auth") == "no").drop("auth")
-        auth_deferred = aw.filter(F.col("auth") != "no").cache()
-        robots_blocked = robots_blocked.join(
+        # Auth annotation (accreditationRules, reference Task.py:12,41;
+        # AuthNature Task.py:22-27): one broadcast join on the schedulable
+        # set gives every downstream branch (allowed, robots-blocked,
+        # deferred) its auth marker.
+        schedulable = schedulable.join(
             F.broadcast(self.auth_rules), "host", "left"
         ).withColumn("auth", F.coalesce(F.col("auth"), F.lit("no")))
+        allowed, robots_blocked = apply_robots(schedulable, new_cache, now)
+
+        # Auth routing skeleton: auth-gated hosts are flagged into a
+        # deferred stream instead of being silently fetched as plain URLs —
+        # the hook an accreditation-enabled fetcher would consume.
+        fetchable = allowed.filter(F.col("auth") == "no").drop("auth")
+        auth_deferred = allowed.filter(F.col("auth") != "no").cache()
 
         # §2.6 priority + politeness top-k
         host_stats = self.store.read("host_stats", HOST_STATS_SCHEMA)
@@ -544,10 +544,20 @@ class CrawlEngine:
         # contain updates; clean buckets are hard-linked file-identically
         # by write_version_bucketed and their recrawl-due rows come from a
         # join-free stale scan (partition-pruned on the stored bucket col).
-        bucket_of = lambda c: F.pmod(F.xxhash64(c), F.lit(cfg.state_buckets)).cast("int")
+        # The bucket modulus is pinned in the manifest on first commit: a
+        # resume with a different cfg.state_buckets would otherwise prune
+        # is_dirty with the stored modulus while writing updates under the
+        # new one — duplicating URLs across buckets.
+        stored_b = self.store.manifest().get("state_buckets")
+        n_buckets = int(stored_b) if stored_b else cfg.state_buckets
+        bucket_of = lambda c: F.pmod(F.xxhash64(c), F.lit(n_buckets)).cast("int")
+        # A legacy (pre-bucketing) url_seen version has flat files and no
+        # bucket partition column; nothing could be hard-linked from it, so
+        # the whole state must be treated as dirty for one migration round.
+        legacy_layout = "bucket" not in url_seen.columns
         cur_seen = (
             url_seen
-            if "bucket" in url_seen.columns  # stored partition col -> pruning
+            if not legacy_layout  # stored partition col -> pruning
             else url_seen.withColumn("bucket", bucket_of(F.col("host")))
         )
         upd = seen_updates.withColumn("bucket", bucket_of(F.col("host")))
@@ -558,9 +568,12 @@ class CrawlEngine:
             int(x["bucket"]) for x in upd.select("bucket").distinct().collect()
         )
         _mark("seen_updates_materialize")
-        is_dirty = (
-            F.col("bucket").isin(dirty_buckets) if dirty_buckets else F.lit(False)
-        )
+        if legacy_layout:
+            is_dirty = F.lit(True)
+        elif dirty_buckets:
+            is_dirty = F.col("bucket").isin(dirty_buckets)
+        else:
+            is_dirty = F.lit(False)
         # eqNullSafe on host: a NULL-host historical row must still match its
         # update or it would be duplicated in the merged state.
         upd_keys = seen_updates.select(
@@ -671,9 +684,12 @@ class CrawlEngine:
             # without it every (writer partition x bucket) pair emits its
             # own tiny file and the next round's state scan degenerates
             # into thousands of one-file tasks.
-            df = merged_dirty.repartition(
-                max(1, min(cfg.num_partitions, len(dirty_buckets))), "bucket"
+            n_write = (
+                cfg.num_partitions  # legacy migration rewrites the full state
+                if legacy_layout
+                else max(1, min(cfg.num_partitions, len(dirty_buckets)))
             )
+            df = merged_dirty.repartition(n_write, "bucket")
             return self.store.write_version_bucketed("url_seen", df, dirty_buckets)
 
         def _stats():
@@ -715,6 +731,7 @@ class CrawlEngine:
             r,
             {"url_seen": uv, "host_stats": hv, "frontier": fv, "bloom": bv,
              "robots_cache": rv},
+            meta={"state_buckets": n_buckets},
         )
         # GC: superseded versions are unreachable once the manifest moved on;
         # keep one prior snapshot for post-hoc inspection (Iceberg's

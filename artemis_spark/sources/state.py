@@ -50,11 +50,21 @@ class StateStore:
         with open(self._manifest_path) as f:
             return json.load(f)
 
-    def commit(self, round_no: int, table_versions: dict[str, int]) -> None:
-        """Atomically publish a round: the snapshot pointer swap."""
+    def commit(
+        self,
+        round_no: int,
+        table_versions: dict[str, int],
+        meta: dict | None = None,
+    ) -> None:
+        """Atomically publish a round: the snapshot pointer swap.
+
+        ``meta`` entries (e.g. the pinned state_buckets modulus) are
+        merged into the manifest top level."""
         m = self.manifest()
         m["round"] = round_no
         m["tables"].update({k: int(v) for k, v in table_versions.items()})
+        if meta:
+            m.update(meta)
         tmp = self._manifest_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(m, f, indent=1, sort_keys=True)
