@@ -105,6 +105,50 @@ def dir_children(
     )
 
 
+def recurse_listing_tree(
+    listings: DataFrame,
+    max_depth: int = 8,
+    url_col: str = "url",
+    lines_col: str = "listing",
+    assume_year: int = 2026,
+) -> DataFrame:
+    """T4 directory recursion (ExtractorFactory.py:93-108 over FTP dirs,
+    FTPDefaultHandler.py:56-66): expand a table of (url, listing) rows
+    into ALL reachable files/dirs, following is_dir children that have
+    their own listing row.
+
+    Batch-iterative like the crawl loop: each iteration is one DataFrame
+    level (explode + self-join on the child URL), not per-row Python
+    recursion — the shape that survives a directory tree with millions
+    of entries.  Returns (parent, url, name, mtime_epoch, is_dir, depth).
+    """
+    all_children = dir_children(listings, url_col, lines_col, assume_year)
+    # roots = listed dirs that are nobody's child (depth-0 entry points)
+    root_urls = listings.select(F.col(url_col).alias("parent")).join(
+        all_children.select(F.col("url").alias("parent")), "parent", "left_anti"
+    )
+    lvl = all_children.join(root_urls, "parent", "left_semi").withColumn(
+        "depth", F.lit(1)
+    )
+    out = lvl
+    by_url = listings.select(
+        F.col(url_col).alias("_lurl"), F.col(lines_col).alias("_llines")
+    )
+    for d in range(2, max_depth + 1):
+        sub = (
+            lvl.filter("is_dir")
+            .join(by_url, F.col("url") == F.col("_lurl"), "inner")
+            .select(F.col("url").alias("u"), F.col("_llines").alias("listing"))
+        )
+        lvl = dir_children(sub, "u", "listing", assume_year).withColumn(
+            "depth", F.lit(d)
+        )
+        if lvl.isEmpty():
+            break
+        out = out.unionByName(lvl)
+    return out
+
+
 def ftp_fetch_stub(wave: DataFrame) -> DataFrame:
     """Signature-pinning stub for a live FTP fetcher (no network egress
     in-sandbox).  On a cluster this becomes a ``mapInPandas`` batch that

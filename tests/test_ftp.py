@@ -10,7 +10,11 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from artemis_spark.sources.ftp import dir_children, parse_ls_line  # noqa: E402
+from artemis_spark.sources.ftp import (  # noqa: E402
+    dir_children,
+    parse_ls_line,
+    recurse_listing_tree,
+)
 
 
 def _utc_epoch(*args) -> int:
@@ -60,6 +64,36 @@ def test_parse_garbage_line_is_null(spark):
     df = spark.createDataFrame([("total 12",), ("",)], "line: string")
     got = df.select(parse_ls_line(F.col("line")).alias("e")).collect()
     assert all(r["e"] is None for r in got)
+
+
+def test_recurse_listing_tree(spark):
+    """T4 directory recursion (ExtractorFactory.py:93-108): a 3-level
+    tree expands fully; files at every depth, dirs followed exactly once."""
+    listings = spark.createDataFrame(
+        [
+            ("ftp://f.test/root", [
+                "drwxr-xr-x 2 f f 4096 Jun 06 10:19 a",
+                "-rw-r--r-- 1 f f   10 Jun 06 10:19 top.txt",
+            ]),
+            ("ftp://f.test/root/a", [
+                "drwxr-xr-x 2 f f 4096 Jun 06 10:19 b",
+                "-rw-r--r-- 1 f f   20 Jun 06 10:19 mid.txt",
+            ]),
+            ("ftp://f.test/root/a/b", [
+                "-rw-r--r-- 1 f f   30 Jun 06 10:19 deep.txt",
+            ]),
+        ],
+        "url: string, listing: array<string>",
+    )
+    rows = recurse_listing_tree(listings).collect()
+    got = {(r["url"], r["depth"], r["is_dir"]) for r in rows}
+    assert got == {
+        ("ftp://f.test/root/a", 1, True),
+        ("ftp://f.test/root/top.txt", 1, False),
+        ("ftp://f.test/root/a/b", 2, True),
+        ("ftp://f.test/root/a/mid.txt", 2, False),
+        ("ftp://f.test/root/a/b/deep.txt", 3, False),
+    }
 
 
 def test_dir_children_urljoin(spark):
