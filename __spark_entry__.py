@@ -421,6 +421,18 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     return minhash_lsh_dedup_pairs(d, "doc_id", "text", n=3, k=8, bands=4, num=1, den=5)
 
 
+def q_near_dup_clusters(spark, sf_dir):
+    """Transitive near-dup clusters over the MinHash-LSH pair edges
+    (iterative min-label connected components, operators/clusters.py)
+    with min-id canonical selection — verified against a DuckDB
+    recursive-CTE transitive closure."""
+    from artemis_spark.operators.clusters import dedup_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup_pairs(d, "doc_id", "text", n=3, k=8, bands=4, num=1, den=5)
+    return dedup_clusters(d, pairs, id_col="doc_id", src_col="doc1", dst_col="doc2")
+
+
 def q_simhash_docs(spark, sf_dir):
     """63-bit SimHash per document from md5-derived word hashes."""
     d = _t(spark, sf_dir, "documents")
@@ -717,6 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_quality": q_token_quality,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "near_dup_clusters": q_near_dup_clusters,
         "simhash_docs": q_simhash_docs,
         "embedding_near_dup": q_embedding_near_dup,
         "running_total": q_running_total,
@@ -1119,6 +1132,19 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "ngram_jaccard_pairs": _jaccard_sql(1, 4),
         "minhash_lsh_pairs": _minhash_oracle_sql(8, 4, 1, 5),
+        "near_dup_clusters": f"""
+            WITH RECURSIVE pairs AS ({_minhash_oracle_sql(8, 4, 1, 5)}),
+            edges AS (
+              SELECT doc1 AS s, doc2 AS d FROM pairs
+              UNION
+              SELECT doc2, doc1 FROM pairs),
+            reach(id, r) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id),
+            cc AS (SELECT id AS doc_id, min(r) AS cluster_id
+                   FROM reach GROUP BY id)
+            SELECT doc_id, cluster_id, doc_id = cluster_id AS keep FROM cc""",
         "simhash_docs": _simhash_oracle_sql(),
         "running_total": """
             SELECT o_custkey, o_orderkey,
