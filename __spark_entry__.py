@@ -345,6 +345,42 @@ def q_rollup_agg(spark, sf_dir):
     )
 
 
+def q_cube_agg(spark, sf_dir):
+    """CUBE over (nation, segment): all 4 grouping-set combinations."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    j = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+    return (
+        j.cube("n_name", "c_mktsegment")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.sum(_cents(F.col("c_acctbal"))).alias("bal_cents"),
+        )
+        .select(
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            F.coalesce(F.col("c_mktsegment"), F.lit("ALL")).alias("segment"),
+            "n_cust",
+            "bal_cents",
+        )
+    )
+
+
+def q_first_last_window(spark, sf_dir):
+    """Window frame semantics: first/last/nth value per customer's order
+    history (last/nth need the full frame — the default running frame is
+    a classic silent-wrong-answer trap)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(wf).alias("last_key"),
+        F.nth_value("o_orderkey", 2).over(wf).alias("second_key"),
+    )
+
+
 def q_pivot_status(spark, sf_dir):
     """Pivot (conditional aggregation form — identical in ANSI SQL):
     order counts per priority pivoted by status."""
@@ -721,6 +757,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "join_agg_topn": q_join_agg_topn,
         "rollup_agg": q_rollup_agg,
+        "cube_agg": q_cube_agg,
+        "first_last_window": q_first_last_window,
         "pivot_status": q_pivot_status,
         "set_ops": q_set_ops,
         "exists_semi_join": q_exists_semi_join,
@@ -1094,6 +1132,27 @@ def oracle_sql() -> dict[str, str]:
                    sum(round(c_acctbal * 100)::BIGINT)::BIGINT AS bal_cents
             FROM customer JOIN nation ON c_nationkey = n_nationkey
             GROUP BY ROLLUP (n_name, c_mktsegment)""",
+        "cube_agg": """
+            SELECT coalesce(n_name, 'ALL') AS nation,
+                   coalesce(c_mktsegment, 'ALL') AS segment,
+                   count(*) AS n_cust,
+                   sum(round(c_acctbal * 100)::BIGINT)::BIGINT AS bal_cents
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY CUBE (n_name, c_mktsegment)""",
+        "first_last_window": """
+            SELECT o_custkey, o_orderkey,
+                   first_value(o_orderkey) OVER w AS first_key,
+                   last_value(o_orderkey) OVER
+                     (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                     AS last_key,
+                   nth_value(o_orderkey, 2) OVER
+                     (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                     AS second_key
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey)""",
         "pivot_status": """
             SELECT o_orderpriority,
                    count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,

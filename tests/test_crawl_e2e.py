@@ -141,6 +141,46 @@ def test_resume_after_interrupt_equals_straight_run(spark, tmp_path, tiny_web):
     assert snap(resumed) == snap(straight)
 
 
+def test_crash_between_write_and_commit_is_recovered(spark, tmp_path, tiny_web):
+    """A round that dies AFTER writing version dirs but BEFORE the
+    manifest swap must leave the previous snapshot intact; the re-run
+    overwrites the orphaned dirs and converges to the straight run."""
+    from pyspark.sql import functions as F
+
+    from artemis_spark.plans.crawl import CrawlConfig, CrawlEngine
+
+    cfg = CrawlConfig(politeness_budget=5, num_partitions=4, bloom_shards=8)
+
+    straight = CrawlEngine(spark, tiny_web, str(tmp_path / "s1"), cfg)
+    straight.run(3)
+
+    crashed = CrawlEngine(spark, tiny_web, str(tmp_path / "s2"), cfg)
+    crashed.run(2)
+    # simulate the crash: orphaned next-version dirs exist, manifest does not
+    # point at them (url_seen garbage + a leftover frontier dir)
+    store = crashed.store
+    garbage = store.read("frontier").limit(1).withColumn("bucket", F.lit(0))
+    store.write_version_bucketed("url_seen", garbage, [0])
+    store.write_version("frontier", store.read("frontier").limit(2))
+    assert store.last_round() == 1  # snapshot still the completed round
+
+    resumed = CrawlEngine(spark, tiny_web, str(tmp_path / "s2"), cfg)
+    resumed.run(1)
+
+    def snap(eng):
+        seen = {
+            (r["url"], r["last_hash"], r["refresh_rate"])
+            for r in eng.store.read("url_seen").collect()
+        }
+        log = {
+            (r["round"], r["url"], r["status"])
+            for r in eng.store.read_appended("crawl_log").collect()
+        }
+        return seen, log
+
+    assert snap(resumed) == snap(straight)
+
+
 def test_markup_extraction_equals_outlink_join(spark, tmp_path, tiny_web):
     """T2/T3: extracting outlinks from the rendered page BYTES (markup
     grammar) must produce the identical crawl to the legacy
