@@ -321,6 +321,38 @@ def gen_auth_rules(spec: WebSpec) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["host", "auth"])
 
 
+def gen_credentials(spec: WebSpec) -> pd.DataFrame:
+    """Per-host login credentials (reference users table,
+    /root/reference/src/accreditation/User.py:28-37): every 'form' host
+    has an account; 'http_basic' hosts only the even-numbered ones — the
+    odd ones stay credential-less so the permanently-deferred path keeps
+    coverage.  lifetime_s=7200 (two logical rounds) scales the reference
+    apache-session default to the 1-round==1-hour logical clock: a
+    session established in round r serves round r+1's wave and expires
+    before r+2 (forcing a re-login round — expiry is exercised, progress
+    still happens)."""
+    rows = []
+    for k in range(spec.n_hosts):
+        auth = None
+        if k % 17 == 7:
+            auth = "form"
+        elif k % 23 == 11 and k % 2 == 0:
+            auth = "http_basic"
+        if auth:
+            rows.append(
+                {
+                    "host": host_name(k),
+                    "auth": auth,
+                    "login": f"user{k:04d}",
+                    "password": f"pw-{k:04d}",
+                    "lifetime_s": 7200,
+                }
+            )
+    return pd.DataFrame(
+        rows, columns=["host", "auth", "login", "password", "lifetime_s"]
+    )
+
+
 def gen_domain_rules(spec: WebSpec) -> pd.DataFrame:
     """Host blocklist (F3, /root/reference/src/Slave.py:138-139):
     hosts k%19==5 are blocked."""
@@ -356,6 +388,7 @@ def generate(tier: str, out_dir: str, epoch: int = 0) -> dict[str, str]:
         "robots_rules": gen_robots(spec),
         "domain_rules": gen_domain_rules(spec),
         "auth_rules": gen_auth_rules(spec),
+        "credentials": gen_credentials(spec),
         "seeds": gen_seeds(spec),
     }
     for name, df in tables.items():

@@ -83,6 +83,100 @@ def connected_components(
         sym.unpersist()
 
 
+def _canonical_edges(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+    """Undirected edge list as (u, v) with v < u, self-loops dropped."""
+    e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    return (
+        e.where(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        .distinct()
+    )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    nodes: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    id_col: str = "id",
+    max_iter: int = 50,
+    stats: dict | None = None,
+) -> DataFrame:
+    """(id, comp) via alternating large-star/small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond").
+
+    Same output contract as :func:`connected_components`, but converges
+    in O(log n) rounds even on adversarial long-chain / high-diameter
+    graphs where min-label propagation needs O(diameter) rounds.  Each
+    round is two groupBy+join passes over the shrinking edge list.
+
+      large-star(u): m = min(N(u) + {u}); emit (v, m) for v in N(u), v > u
+      small-star(u): over edges (u, v<u): m = min(N(u));
+                     emit (u, m) and (v, m) for v in N(u), v != m
+
+    ``stats`` (optional) gets ``{"rounds": r}`` for convergence tests.
+    """
+    e = _canonical_edges(edges, src_col, dst_col).localCheckpoint()
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # ---- large-star over the symmetric view
+        sym = e.select("u", "v").unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("_mn"))
+            .select("u", F.least(F.col("_mn"), F.col("u")).alias("m"))
+        )
+        ls = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # ---- small-star over canonical (v < u) edges
+        smins = ls.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            ls.join(smins, "u")
+            .select(F.col("v").alias("n"), F.col("m"))
+            .unionByName(smins.select(F.col("u").alias("n"), F.col("m")))
+            .where(F.col("n") != F.col("m"))
+            .select(F.col("n").alias("u"), F.col("m").alias("v"))
+            .distinct()
+            .localCheckpoint()  # truncate per-round lineage growth
+        )
+        # converged when the edge multiset is unchanged: cheap two-scalar
+        # fingerprint (count + hash sum mod 2^31, overflow-safe under
+        # ANSI) instead of a set-diff job
+        def _fp(df):
+            row = df.agg(
+                F.count("*").alias("n"),
+                F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(2**31))).alias("h"),
+            ).collect()[0]
+            return (row["n"], row["h"])
+
+        if _fp(ss) == _fp(e):
+            e = ss
+            break
+        e = ss
+    if stats is not None:
+        stats["rounds"] = rounds
+    # final edges are stars (u -> component min); nodes not in any edge
+    # are their own component
+    comp = e.groupBy("u").agg(F.min("v").alias("comp")).select(
+        F.col("u").alias("id"), "comp"
+    )
+    all_nodes = nodes.select(F.col(id_col).alias("id"))
+    return (
+        all_nodes.join(comp, "id", "left")
+        .select("id", F.coalesce(F.col("comp"), F.col("id")).alias("comp"))
+    )
+
+
 def dedup_clusters(
     docs: DataFrame,
     pairs: DataFrame,

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..rounds import ROUND_SECONDS
+from ..rounds import EPOCH_SQL, ROUND_SECONDS
 from ..schemas import MAX_REFRESH_RATE, NATURES
 
 # Sorted so the int-code min agrees with min(string); derived from the
@@ -109,7 +109,7 @@ def validate_against_seen(
     # is_alive: now - last_controlled < refresh_rate * delay  (in rounds)
     age_rounds = (
         F.lit(current_round)
-        - (F.unix_timestamp("s_last_controlled") - F.unix_timestamp(F.lit("2026-01-01 00:00:00")))
+        - (F.unix_timestamp("s_last_controlled") - F.unix_timestamp(F.lit(EPOCH_SQL)))
         / F.lit(ROUND_SECONDS)
     ).cast("long")
     alive = F.col("s_url").isNotNull() & (

@@ -71,13 +71,33 @@ def shingle_sizes(sh: DataFrame, id_col: str) -> DataFrame:
 
 
 def jaccard_pairs(
-    sh: DataFrame, id_col: str, num: int = 1, den: int = 2
+    sh: DataFrame, id_col: str, num: int = 1, den: int = 2, max_df: int | None = None
 ) -> DataFrame:
     """All document pairs with jaccard >= num/den, via posting-list join.
 
     Output: (doc1, doc2, inter, size1, size2) — integers only.
     jaccard >= num/den  <=>  den*inter >= num*(size1+size2-inter).
+
+    ``max_df`` is the scale guard: a shingle present in k documents
+    contributes k^2 rows to the self-join, so one stop-shingle shared by
+    10^6 docs degenerates the exact path quadratically.  With a cap, any
+    shingle whose document frequency exceeds ``max_df`` is dropped from
+    the universe BEFORE the join (both intersections and sizes), bounding
+    per-shingle join work at max_df^2.  Ubiquitous shingles carry no
+    similarity signal (they raise every pair's score equally), so
+    near-dup pairs driven by rare shingles are preserved; default None
+    keeps exact semantics for oracle parity.
     """
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") > max_df)
+            .select("shingle")
+        )
+        # the hot set is the extreme top of the df distribution — tiny —
+        # so the anti-join broadcasts instead of shuffling the postings
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     a = sh.select(F.col(id_col).alias("doc1"), "shingle")
     b = sh.select(F.col(id_col).alias("doc2"), "shingle")
     inter = (

@@ -51,9 +51,9 @@ from ..operators.dedup import (
 )
 from ..operators.politeness import politeness_topk, with_score
 from ..operators.robots import apply_robots, sitemap_candidates
-from ..rounds import round_ts
+from ..rounds import EPOCH_SQL, round_ts
 from ..schemas import MAX_REFRESH_RATE, URL_SEEN_SCHEMA
-from ..sources.fetch import build_web, synthetic_fetch
+from ..sources.fetch import build_payload_cache, build_web, synthetic_fetch
 from ..sources.state import StateStore
 from .. import schemas as S
 
@@ -98,7 +98,15 @@ class CrawlConfig:
     # url_seen is stored partitioned by pmod(xxhash64(host), state_buckets);
     # a round rewrites only buckets containing updates and hard-links the
     # rest (Iceberg-manifest analogue) — O(dirty) not O(|state|) per round.
-    state_buckets: int = 64
+    # 256 by default (pinned in the manifest on first commit, so raising
+    # it never mixes moduli within one state dir); at 10^10 URLs use 4096+.
+    state_buckets: int = 256
+    # >0 enables the delta-log MERGE layout: each round appends only its
+    # update rows as a delta version (write cost O(|wave|) even when every
+    # bucket is dirty); reads reconstruct last-writer-wins per url, and
+    # the chain is compacted to a single base every N rounds to bound
+    # read amplification.  0 = always rewrite dirty buckets (r02 layout).
+    state_delta_max_chain: int = 8
     decode_payloads: bool = True  # disable for pure scheduler benchmarks
     # T2/T3: extract outlinks from the fetched page BYTES (html/sitemap
     # markup grammar, functions/markup.py) when the web fixture carries
@@ -127,13 +135,17 @@ class CrawlEngine:
         self.store = StateStore(spark, state_dir)
         self.link_graph = spark.read.parquet(f"{web_dir}/link_graph.parquet")
         self.payloads = spark.read.parquet(f"{web_dir}/payloads.parquet")
-        # The synthetic web = link_graph + payload bytes, joined ONCE and
-        # kept hash-partitioned by host (see build_web): per-round fetch
-        # joins are then co-partitioned and exchange-free.  On a cluster
-        # the same effect comes from Iceberg bucketed tables.
-        self.web = build_web(self.link_graph, self.payloads, self.cfg.num_partitions)
+        # Two caches, not one pre-joined table: pages hash-partitioned by
+        # host (co-located with the wave — per-round fetch joins are
+        # exchange-free) and payload bytes hash-partitioned by image_id
+        # (bytes attach per round only for fetched rows; pre-joining them
+        # would replicate each shared image ~10x into a multi-GB cache).
+        # On a cluster the same effect comes from Iceberg bucketed tables.
+        self.web = build_web(self.link_graph, self.cfg.num_partitions)
+        self.payload_cache = build_payload_cache(self.payloads, self.cfg.num_partitions)
         if self.cfg.cache_web:
             self.web = self.web.persist()
+            self.payload_cache = self.payload_cache.persist()
         self.has_markup = "body" in self.link_graph.columns
         self.robots = spark.read.parquet(f"{web_dir}/robots_rules.parquet")
         self.domain_rules = spark.read.parquet(f"{web_dir}/domain_rules.parquet")
@@ -150,6 +162,7 @@ class CrawlEngine:
             self.auth_rules = spark.createDataFrame([], S.AUTH_RULES_SCHEMA)
         self.seeds = spark.read.parquet(self.seeds_path)
         self._bloom: BloomShards | None = None
+        self._round_bcs: list = []  # per-round bloom broadcasts, destroyed at round end
 
     # ------------------------------------------------------------------ state
 
@@ -200,12 +213,38 @@ class CrawlEngine:
 
     # ------------------------------------------------------------------ round
 
+    @staticmethod
+    def _stale(df: DataFrame, at_round: int, delay_rounds: int) -> DataFrame:
+        """A2 staleness (/root/reference/src/Task.py:94-95 inverted):
+        at_round - last_controlled_round >= refresh_rate * delay."""
+        return df.filter(
+            (
+                F.lit(at_round)
+                - (
+                    (
+                        F.unix_timestamp("last_controlled")
+                        - F.unix_timestamp(F.lit(EPOCH_SQL))
+                    )
+                    / F.lit(3600)
+                ).cast("long")
+            )
+            >= F.col("refresh_rate").cast("long") * F.lit(delay_rounds)
+        )
+
     def run_round(self) -> dict:
         cfg = self.cfg
         r = self.store.last_round() + 1
         now = round_ts(r)
         t_start = time.monotonic()
         shard = lambda c: host_partition_key(c, cfg.num_partitions)
+        # One bucket modulus for every host-keyed state table (url_seen,
+        # robots_cache, host_stats), pinned in the manifest on first
+        # commit — a resume with a different cfg.state_buckets would
+        # otherwise prune with the stored modulus while writing under the
+        # new one, duplicating keys across buckets.
+        stored_b = self.store.manifest().get("state_buckets")
+        n_buckets = int(stored_b) if stored_b else cfg.state_buckets
+        bucket_of = lambda c: F.pmod(F.xxhash64(c), F.lit(n_buckets)).cast("int")
 
         import os as _os
         _timing = bool(int(_os.environ.get("ARTEMIS_ROUND_TIMING", "0")))
@@ -218,12 +257,32 @@ class CrawlEngine:
                 _phases[name] = round(t - _last[0], 2)
                 _last[0] = t
 
+        # A2 recrawl scheduler (/root/reference/src/Master.py:330-342),
+        # merge-on-READ: stale URLs are derived from the committed
+        # url_seen snapshot when the round starts instead of being
+        # re-written into the frontier at round end — the frontier table
+        # stays O(|new links|) while recrawl-heavy steady state would
+        # otherwise rewrite O(|state|) rows every round (the r02 bench's
+        # largest single write).  The filter is identical to the old
+        # round-end `_stale(merged_state, r+1)` evaluated one round later.
+        url_seen_pre = self.store.read("url_seen", URL_SEEN_SCHEMA)
+        if len(self.store.delta_chain("url_seen")) > 1:
+            # delta-layout read is a reconstruction aggregate consumed by
+            # several jobs this round (recrawl scan, validate join, merge/
+            # compaction) — cache it once instead of recomputing
+            url_seen_pre = url_seen_pre.cache()
+        recrawl_due = self._stale(url_seen_pre, r, cfg.revisit_delay_rounds).select(
+            "url", "host", "depth", "nature", F.lit(r).alias("round_added")
+        )
+
         # THE routing shuffle (reference P2, /root/reference/src/Slave.py:145-172):
         # one hash exchange by host up front; every downstream join/window/
         # groupBy on the wave path keys by (host, ...) so Catalyst reuses
         # this partitioning and plans the rest of the round exchange-free.
-        candidates = self.store.read("frontier", CANDIDATES_SCHEMA).repartition(
-            cfg.num_partitions, "host"
+        candidates = (
+            self.store.read("frontier", CANDIDATES_SCHEMA)
+            .unionByName(recrawl_due)
+            .repartition(cfg.num_partitions, "host")
         )
 
         # F2 protocol rules + nature gating (tor/torrent unfetchable in-sandbox)
@@ -235,15 +294,26 @@ class CrawlEngine:
         blocked_hosts = self.domain_rules.filter(~F.col("allowed")).select("host")
         candidates = candidates.join(F.broadcast(blocked_hosts), "host", "left_anti")
 
+        pre_dedupe = candidates
         candidates = dedupe_within_batch(candidates).cache()
-        n_in = candidates.count()
+        if cfg.light_stats:
+            # emptiness only — probed on the pre-dedupe stream, so the
+            # common (non-empty) case reads one parquet split's first rows
+            # instead of running a full dedupe+count job every round; the
+            # dedupe itself materializes lazily with the round's main job
+            n_in = -1
+            round_is_empty = pre_dedupe.isEmpty()
+        else:
+            n_in = candidates.count()
+            round_is_empty = n_in == 0
         _mark('candidates_count')
-        if n_in == 0:
+        if round_is_empty:
+            candidates.unpersist()
             self._commit_empty(r, t_start)
             return {"round": r, "scheduled": 0, "fetched": 0, "new_candidates": 0}
 
         # F1 bloom pre-filter -> F4 exact validate
-        url_seen = self.store.read("url_seen", URL_SEEN_SCHEMA)
+        url_seen = url_seen_pre
         bloom_v = self.store.current_version("bloom")
         if (
             cfg.bloom_shard_local
@@ -256,7 +326,9 @@ class CrawlEngine:
         else:
             # broadcast probe (also round 0 / legacy-npz states, where no
             # per-shard directory exists yet)
-            probed = with_bloom_maybe_seen(self.spark, candidates, self.bloom)
+            probed = with_bloom_maybe_seen(
+                self.spark, candidates, self.bloom, bc_registry=self._round_bcs
+            )
         definitely_new, maybe_seen = split_by_bloom(probed)
         schedulable = as_new(definitely_new).unionByName(
             validate_against_seen(maybe_seen, url_seen, r, cfg.revisit_delay_rounds)
@@ -271,7 +343,9 @@ class CrawlEngine:
         # staleness window a real crawler has.  Rule-less hosts get a
         # NULL-pattern sentinel row so they are not re-fetched every round
         # (negative caching, ≙ RobotCache caching empty parsers).
-        robots_cache = self.store.read("robots_cache", S.ROBOTS_SCHEMA)
+        robots_cache_raw = self.store.read("robots_cache", S.ROBOTS_SCHEMA)
+        rc_has_bucket = "bucket" in robots_cache_raw.columns
+        robots_cache = robots_cache_raw.drop("bucket")
         live_hosts = (
             robots_cache.filter(
                 F.unix_timestamp(F.lit(now))
@@ -316,7 +390,9 @@ class CrawlEngine:
         auth_deferred = allowed.filter(F.col("auth") != "no").cache()
 
         # §2.6 priority + politeness top-k
-        host_stats = self.store.read("host_stats", HOST_STATS_SCHEMA)
+        host_stats_raw = self.store.read("host_stats", HOST_STATS_SCHEMA)
+        hs_has_bucket = "bucket" in host_stats_raw.columns
+        host_stats = host_stats_raw.drop("bucket")
         scored = with_score(fetchable, host_stats)
         scheduled, deferred = politeness_topk(scored, cfg.politeness_budget)
         scheduled = scheduled.cache()
@@ -333,7 +409,7 @@ class CrawlEngine:
             wave = wave.repartition(
                 cfg.num_partitions, salted_host(F.col("host"), F.col("url"), cfg.fetch_salt)
             )
-        fetched = synthetic_fetch(wave, self.web)
+        fetched = synthetic_fetch(wave, self.web, self.payload_cache)
 
         # F7 unchanged-content short-circuit (304 or same sha224)
         unchanged = (F.col("status") == 304) | (
@@ -536,21 +612,8 @@ class CrawlEngine:
             )
         )
 
-        # A2 recrawl scheduler (/root/reference/src/Master.py:330-342):
-        # re-emit stale URLs from the *post-round* merged state (URLs
-        # controlled this round have fresh last_controlled = now).
         seen_cols = [f.name for f in URL_SEEN_SCHEMA.fields]
-        # ----- bucketed MERGE: anti-join + rewrite touch ONLY buckets that
-        # contain updates; clean buckets are hard-linked file-identically
-        # by write_version_bucketed and their recrawl-due rows come from a
-        # join-free stale scan (partition-pruned on the stored bucket col).
-        # The bucket modulus is pinned in the manifest on first commit: a
-        # resume with a different cfg.state_buckets would otherwise prune
-        # is_dirty with the stored modulus while writing updates under the
-        # new one — duplicating URLs across buckets.
-        stored_b = self.store.manifest().get("state_buckets")
-        n_buckets = int(stored_b) if stored_b else cfg.state_buckets
-        bucket_of = lambda c: F.pmod(F.xxhash64(c), F.lit(n_buckets)).cast("int")
+        # ----- MERGE layout decisions.
         # A legacy (pre-bucketing) url_seen version has flat files and no
         # bucket partition column; nothing could be hard-linked from it, so
         # the whole state must be treated as dirty for one migration round.
@@ -560,6 +623,24 @@ class CrawlEngine:
             if not legacy_layout  # stored partition col -> pruning
             else url_seen.withColumn("bucket", bucket_of(F.col("host")))
         )
+        # Delta-log MERGE (Iceberg merge-on-read analogue): a normal round
+        # appends ONLY this round's update rows as a new delta version —
+        # per-round write cost tracks |updates|, not |dirty buckets| —
+        # and the read side reconstructs last-writer-wins per url
+        # (state.py _read_chain).  Every state_delta_max_chain rounds the
+        # chain is compacted back to a single bucketed base so read
+        # amplification stays bounded.  Broad waves that dirty every
+        # bucket (the r02 scale-killer: bucketed MERGE degraded to a full
+        # rewrite) now cost O(|wave|) on all but the compaction round.
+        chain = self.store.delta_chain("url_seen")
+        base_v = self.store.current_version("url_seen")
+        cur_chain = chain if chain else ([base_v] if base_v >= 0 else [])
+        delta_on = cfg.state_delta_max_chain > 0 and not legacy_layout
+        full_rewrite = legacy_layout or (
+            delta_on and len(cur_chain) >= cfg.state_delta_max_chain
+        )
+        will_delta = delta_on and not full_rewrite and len(cur_chain) >= 1
+
         upd = seen_updates.withColumn("bucket", bucket_of(F.col("host")))
         # This collect doubles as the one up-front materialization of the
         # shared seen_updates cache (it replaces the pre-fan-out count()):
@@ -568,61 +649,41 @@ class CrawlEngine:
             int(x["bucket"]) for x in upd.select("bucket").distinct().collect()
         )
         _mark("seen_updates_materialize")
-        if legacy_layout:
-            is_dirty = F.lit(True)
-        elif dirty_buckets:
-            is_dirty = F.col("bucket").isin(dirty_buckets)
+        if will_delta:
+            merged_dirty = None  # nothing to merge at write time
         else:
-            is_dirty = F.lit(False)
-        # eqNullSafe on host: a NULL-host historical row must still match its
-        # update or it would be duplicated in the merged state.
-        upd_keys = seen_updates.select(
-            F.col("host").alias("u_host"), F.col("url").alias("u_url")
-        )
-        merged_dirty = (
-            cur_seen.filter(is_dirty)
-            .join(
-                upd_keys,
-                F.col("host").eqNullSafe(F.col("u_host")) & (F.col("url") == F.col("u_url")),
-                "left_anti",
+            if full_rewrite:
+                is_dirty = F.lit(True)
+            elif dirty_buckets:
+                is_dirty = F.col("bucket").isin(dirty_buckets)
+            else:
+                is_dirty = F.lit(False)
+            # eqNullSafe on host: a NULL-host historical row must still
+            # match its update or it would be duplicated in the merged state.
+            upd_keys = seen_updates.select(
+                F.col("host").alias("u_host"), F.col("url").alias("u_url")
             )
-            .select(*seen_cols, "bucket")
-            .unionByName(upd.select(*seen_cols, "bucket"))
-        ).cache()  # feeds both the bucketed url_seen write and recrawl_due
-
-        def _stale(df):
-            # A2 staleness: (r+1) - last_controlled_round >= refresh_rate*delay
-            return df.filter(
-                (
-                    F.lit(r + 1)
-                    - (
-                        (
-                            F.unix_timestamp("last_controlled")
-                            - F.unix_timestamp(F.lit("2026-01-01 00:00:00"))
-                        )
-                        / F.lit(3600)
-                    ).cast("long")
+            merged_dirty = (
+                cur_seen.filter(is_dirty)
+                .join(
+                    upd_keys,
+                    F.col("host").eqNullSafe(F.col("u_host")) & (F.col("url") == F.col("u_url")),
+                    "left_anti",
                 )
-                >= F.col("refresh_rate").cast("long") * F.lit(cfg.revisit_delay_rounds)
-            )
+                .select(*seen_cols, "bucket")
+                .unionByName(upd.select(*seen_cols, "bucket"))
+            ).cache()
 
-        recrawl_sel = ["url", "host", "depth", "nature"]
-        recrawl_due = (
-            _stale(merged_dirty)
-            .select(*recrawl_sel)
-            .unionByName(_stale(cur_seen.filter(~is_dirty)).select(*recrawl_sel))
-            .withColumn("round_added", F.lit(r + 1))
-        )
         # Dedupe before writing: extraction emits the same URL from many
         # parents (3-4x write amplification otherwise).  Order matters for
         # skew: the raw extracted stream is zipf-heavy on popular TARGET
         # hosts, so dedupe first on the uniform (url, host) hash, then
         # repartition the (per-host-bounded) unique rows by host so the
-        # written frontier is host-grouped for the next round.
+        # written frontier is host-grouped for the next round.  Recrawl
+        # rows are NOT written here — they are derived from url_seen at
+        # the next round's read (merge-on-read recrawl, see top of round).
         next_frontier = (
-            dedupe_within_batch(
-                next_frontier.unionByName(recrawl_due).select(*CANDIDATE_COLS)
-            )
+            dedupe_within_batch(next_frontier.select(*CANDIDATE_COLS))
             .select(*CANDIDATE_COLS)
             .repartition(cfg.num_partitions, "host")
             .cache()
@@ -632,33 +693,40 @@ class CrawlEngine:
         # Round totals (scheduled/fetched/blocked) are summed from this
         # per-partition lineage table after the persist fan-out instead of
         # running separate count() jobs over the same cached data.
-        per_part = (
-            fetched.groupBy(shard(F.col("host")).alias("partition_id"))
-            .agg(F.count("*").alias("urls_fetched"))
-        )
-        cand_per_part = candidates.groupBy(shard(F.col("host")).alias("partition_id")).agg(
-            F.count("*").alias("urls_in")
-        )
-        sched_per_part = scheduled.groupBy(shard(F.col("host")).alias("partition_id")).agg(
-            F.count("*").alias("urls_scheduled")
-        )
-        blocked_per_part = robots_blocked.groupBy(
-            shard(F.col("host")).alias("partition_id")
-        ).agg(F.count("*").alias("urls_robots_blocked"))
+        # One tagged union + ONE hash aggregate instead of four groupBys
+        # stitched by three full-outer joins: the per-partition counters
+        # all key on the same shard id, so a single shuffle suffices.
         wall_ms = int((time.monotonic() - t_start) * 1000)
         snapshot = json.dumps(self.store.manifest()["tables"], sort_keys=True)
+
+        def _tagged(df, tag):
+            return df.select(
+                shard(F.col("host")).alias("partition_id"), F.lit(tag).alias("_k")
+            )
+
+        tally = lambda tag: F.sum(
+            F.when(F.col("_k") == tag, 1).otherwise(0)
+        )
         lineage = (
-            cand_per_part.join(sched_per_part, "partition_id", "full")
-            .join(per_part, "partition_id", "full")
-            .join(blocked_per_part, "partition_id", "full")
+            _tagged(candidates, "in")
+            .unionByName(_tagged(scheduled, "sched"))
+            .unionByName(_tagged(fetched, "fetch"))
+            .unionByName(_tagged(robots_blocked, "blocked"))
+            .groupBy("partition_id")
+            .agg(
+                tally("in").alias("urls_in"),
+                tally("sched").alias("urls_scheduled"),
+                tally("fetch").alias("urls_fetched"),
+                tally("blocked").alias("urls_robots_blocked"),
+            )
             .select(
                 F.lit(r).alias("round"),
                 F.col("partition_id").cast("int"),
-                F.coalesce(F.col("urls_in"), F.lit(0)).alias("urls_in"),
-                (F.coalesce(F.col("urls_in"), F.lit(0)) - F.coalesce(F.col("urls_scheduled"), F.lit(0))).alias("urls_deduped"),
-                F.coalesce(F.col("urls_scheduled"), F.lit(0)).alias("urls_scheduled"),
-                F.coalesce(F.col("urls_fetched"), F.lit(0)).alias("urls_fetched"),
-                F.coalesce(F.col("urls_robots_blocked"), F.lit(0)).alias("urls_robots_blocked"),
+                F.col("urls_in"),
+                (F.col("urls_in") - F.col("urls_scheduled")).alias("urls_deduped"),
+                F.col("urls_scheduled"),
+                F.col("urls_fetched"),
+                F.col("urls_robots_blocked"),
                 F.lit(wall_ms).alias("wall_ms"),
                 F.lit(snapshot).alias("input_snapshot"),
             )
@@ -671,6 +739,20 @@ class CrawlEngine:
         # serializing.  Nothing is visible until the manifest commit.
         from concurrent.futures import ThreadPoolExecutor
 
+        def _timed(fn):
+            if not _timing:
+                return fn
+
+            def wrap():
+                t0 = time.monotonic()
+                try:
+                    return fn()
+                finally:
+                    _phases[f"w_{fn.__name__}"] = round(time.monotonic() - t0, 2)
+
+            wrap.__name__ = fn.__name__
+            return wrap
+
         def _crawl_log():
             self.store.append_round("crawl_log", crawl_log, r)
 
@@ -678,50 +760,119 @@ class CrawlEngine:
             self.store.append_round("lineage_metrics", lineage, r)
 
         def _merge():
-            # incremental MERGE INTO emulation: write dirty buckets, link
-            # the rest (sources/state.py write_version_bucketed).  The
-            # repartition-by-bucket keeps the layout at ~1 file per bucket:
-            # without it every (writer partition x bucket) pair emits its
-            # own tiny file and the next round's state scan degenerates
-            # into thousands of one-file tasks.
+            # The repartition-by-bucket keeps the layout at ~1 file per
+            # bucket: without it every (writer partition x bucket) pair
+            # emits its own tiny file and the next round's state scan
+            # degenerates into thousands of one-file tasks.
+            if will_delta:
+                # delta append: write ONLY this round's updates
+                n_write = max(1, min(cfg.num_partitions, len(dirty_buckets)))
+                return self.store.write_version_delta(
+                    "url_seen", upd.repartition(n_write, "bucket")
+                )
+            # bucketed rewrite: dirty buckets written, clean buckets
+            # hard-linked — except on compaction/migration rounds, where
+            # the current version dir is a partial delta (or flat legacy)
+            # and nothing may be linked from it.
             n_write = (
-                cfg.num_partitions  # legacy migration rewrites the full state
-                if legacy_layout
+                cfg.num_partitions
+                if full_rewrite
                 else max(1, min(cfg.num_partitions, len(dirty_buckets)))
             )
             df = merged_dirty.repartition(n_write, "bucket")
-            return self.store.write_version_bucketed("url_seen", df, dirty_buckets)
+            return self.store.write_version_bucketed(
+                "url_seen", df, dirty_buckets, link_clean=not full_rewrite
+            )
+
+        def _bucketed_host_table(table, full_df, dirty_hosts_df, has_bucket):
+            """Incremental write for a small host-keyed table: rows of
+            buckets containing this round's changed hosts are rewritten,
+            clean buckets hard-linked (same shape as the url_seen MERGE;
+            fixes the r02 O(all-hosts)-IO-per-round rewrite of
+            robots_cache/host_stats).  First write (or legacy flat
+            layout) migrates the whole table into the bucketed form."""
+            df = full_df.withColumn("bucket", bucket_of(F.col("host")))
+            if not has_bucket:
+                return self.store.write_version_bucketed(
+                    table,
+                    df.repartition(max(1, min(cfg.num_partitions, n_buckets)), "bucket"),
+                    [],
+                    link_clean=False,
+                )
+            dirty = sorted(
+                int(x["b"])
+                for x in dirty_hosts_df.select(
+                    bucket_of(F.col("host")).alias("b")
+                ).distinct().collect()
+            )
+            dirty_df = df.filter(
+                F.col("bucket").isin(dirty) if dirty else F.lit(False)
+            )
+            n_write = max(1, min(cfg.num_partitions, len(dirty) or 1))
+            return self.store.write_version_bucketed(
+                table, dirty_df.repartition(n_write, "bucket"), dirty
+            )
 
         def _stats():
-            return self.store.write_version("host_stats", merged_stats)
+            return _bucketed_host_table(
+                "host_stats", merged_stats, inlink_delta, hs_has_bucket
+            )
 
         def _frontier():
             return self.store.write_version("frontier", next_frontier)
 
         def _robots_cache():
-            return self.store.write_version("robots_cache", new_cache)
+            return _bucketed_host_table(
+                "robots_cache", new_cache, refreshed, rc_has_bucket
+            )
 
         def _bloom():
-            # incremental bloom update with this round's newly-seen URLs;
-            # untouched shard files are hard-linked from the prior version
-            dirty_shards = self.bloom.update_from_df(seen_updates.select("url", "host"))
-            bv = self.store.current_version("bloom") + 1
-            prev = self._bloom_path(bv - 1)
-            self.bloom.save_dir(
-                self._bloom_path(bv),
-                prev_path=prev if os.path.isdir(prev) else None,
-                dirty_shards=dirty_shards,
+            # incremental bloom update with this round's newly-seen URLs:
+            # OR-merge + write happen INSIDE the executor task per shard
+            # (operators/bloom.py update_and_save_shards); the driver only
+            # links untouched shards — no S*m/8 array in driver memory.
+            from ..operators.bloom import update_and_save_shards
+
+            cur_bv = self.store.current_version("bloom")
+            prev = self._bloom_path(cur_bv)
+            legacy_npz = prev + ".npz"
+            if cur_bv >= 0 and os.path.exists(legacy_npz):
+                # pre-r2 single-file state: one driver-side migration
+                # round rewrites it in the per-shard dir format
+                dirty_shards = self.bloom.update_from_df(
+                    seen_updates.select("url", "host")
+                )
+                self.bloom.save_dir(self._bloom_path(cur_bv + 1))
+                self._bloom = None
+                return cur_bv + 1
+            if cur_bv >= 0 and os.path.isdir(prev):
+                meta = BloomShards.dir_meta(prev)
+                S_, m_, k_ = meta["num_shards"], meta["m"], meta["k"]
+                prev_dir = prev
+            else:
+                S_, m_, k_ = cfg.bloom_shards, cfg.bloom_bits_per_shard, 7
+                prev_dir = None
+            update_and_save_shards(
+                seen_updates.select("url", "host"),
+                self._bloom_path(cur_bv + 1),
+                prev_dir,
+                S_,
+                m_,
+                k_,
             )
-            return bv
+            # invalidate the lazily-loaded driver copy (broadcast-probe
+            # path reloads the new version's shard files next round)
+            self._bloom = None
+            return cur_bv + 1
 
         with ThreadPoolExecutor(max_workers=7) as pool:
-            f_log = pool.submit(_crawl_log)
-            f_lin = pool.submit(_lineage)
-            f_uv = pool.submit(_merge)
-            f_hv = pool.submit(_stats)
-            f_fv = pool.submit(_frontier)
-            f_bv = pool.submit(_bloom)
-            f_rv = pool.submit(_robots_cache)
+            f_log = pool.submit(_timed(_crawl_log))
+            f_lin = pool.submit(_timed(_lineage))
+            f_uv = pool.submit(_timed(_merge))
+            f_hv = pool.submit(_timed(_stats))
+            f_fv = pool.submit(_timed(_frontier))
+            f_bv = pool.submit(_timed(_bloom))
+            f_rv = pool.submit(_timed(_robots_cache))
             f_log.result()
             f_lin.result()
             uv, hv, fv, bv, rv = (
@@ -732,6 +883,7 @@ class CrawlEngine:
             {"url_seen": uv, "host_stats": hv, "frontier": fv, "bloom": bv,
              "robots_cache": rv},
             meta={"state_buckets": n_buckets},
+            delta_chains={"url_seen": (cur_chain + [uv]) if will_delta else [uv]},
         )
         # GC: superseded versions are unreachable once the manifest moved on;
         # keep one prior snapshot for post-hoc inspection (Iceberg's
@@ -758,10 +910,17 @@ class CrawlEngine:
             seen_updates,
             next_frontier,
             merged_dirty,
+            url_seen_pre,
             new_cache,
             lineage,
         ):
-            df.unpersist()
+            if df is not None:
+                df.unpersist()
+        # every plan referencing this round's bloom broadcast has
+        # materialized (the persist fan-out is complete), so the handle
+        # can be destroyed — otherwise each round leaks one bitset copy
+        while self._round_bcs:
+            self._round_bcs.pop().destroy()
         if _timing:
             print(f"ROUND_TIMING r={r} " + json.dumps(_phases))
         return {

@@ -14,6 +14,9 @@ import datetime as _dt
 
 T0 = _dt.datetime(2026, 1, 1, tzinfo=_dt.timezone.utc)
 ROUND_SECONDS = 3600
+# SQL-literal form of the epoch for timestamp arithmetic in column
+# expressions (single source of truth — do not re-hardcode the date).
+EPOCH_SQL = T0.strftime("%Y-%m-%d %H:%M:%S")
 
 
 def round_ts(round_no: int) -> _dt.datetime:

@@ -55,6 +55,32 @@ AUTH_RULES_SCHEMA = T.StructType(
 
 MAX_REFRESH_RATE = 20  # /root/reference/src/Task.py:9
 
+# per-host login credentials (reference users table,
+# /root/reference/src/accreditation/User.py:28-37): hosts with a row can
+# be logged into; auth-gated hosts without one stay deferred forever.
+CREDENTIALS_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("auth", T.StringType(), True),
+        T.StructField("login", T.StringType(), True),
+        T.StructField("password", T.StringType(), True),
+        T.StructField("lifetime_s", T.IntegerType(), True),
+    ]
+)
+
+# established auth sessions (reference User.deathtime semantics,
+# /root/reference/src/accreditation/User.py:20-24): a session made in
+# round r serves waves while now < established_at + lifetime_s.
+AUTH_SESSIONS_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("auth", T.StringType(), True),
+        T.StructField("session_id", T.StringType(), True),
+        T.StructField("established_at", T.TimestampType(), True),
+        T.StructField("lifetime_s", T.IntegerType(), True),
+    ]
+)
+
 # ---------------------------------------------------------------------------
 # payloads — input_hint shape, exact (BASELINE.json)
 # ---------------------------------------------------------------------------

@@ -39,31 +39,24 @@ FETCH_RESULT_COLS = [
 ]
 
 
-def build_web(
-    link_graph: DataFrame, payloads: DataFrame, num_partitions: int
-) -> DataFrame:
-    """Pre-join the synthetic web once per run: link_graph rows carry
-    their payload bytes, hash-partitioned by host.
+def build_web(link_graph: DataFrame, num_partitions: int) -> DataFrame:
+    """The page side of the synthetic web: link_graph (HTTP metadata +
+    page body markup), hash-partitioned by host and pre-sorted on the
+    round-join keys.
 
-    A real fetch returns page bytes *with* the HTTP response — there is
-    no separate "payload lookup" on a live crawl — so the faithful
-    synthetic shape is one static table, built once, cached partitioned
-    on the same host key as the wave.  Every per-round fetch join is
-    then exchange-free on both sides (the Phi host-major colocation
-    invariant, /root/reference/src/Netarea.py:7-11, as a Spark
-    co-partitioned join).
+    Payload bytes deliberately stay in a SEPARATE image_id-keyed cache
+    (:func:`build_payload_cache`): pages share images ~10:1, so joining
+    bytes into the page table up front replicates every image ~10x —
+    a multi-GB cache whose build dominates round 0 and whose full width
+    then streams through the fetch join every round.  Joining bytes per
+    round on image_id instead touches each image once and only for rows
+    actually fetched.  The cached ordering here satisfies every round's
+    sort-merge join, so the page side is never sorted again (the Phi
+    host-major colocation invariant, /root/reference/src/Netarea.py:7-11,
+    as a Spark co-partitioned join).
     """
     from ..functions.urls import host_of
 
-    p = payloads.select(
-        F.col("image_id").alias("p_image_id"),
-        F.col("bytes"),
-        F.col("fmt"),
-        F.col("caption"),
-        F.col("phash").alias("expected_phash"),
-        F.col("w").alias("expected_w"),
-        F.col("h").alias("expected_h"),
-    )
     # `body` (rendered page markup, T2/T3 real extraction) appears in
     # fixtures generated after round 1; older web dirs fall back to the
     # outlinks-join extraction path.
@@ -77,34 +70,60 @@ def build_web(
         *[F.col(c) for c in FETCH_RESULT_COLS],
         body,
     )
-    web = lg.join(
-        p, (lg["status"] == 200) & (lg["image_id"] == p["p_image_id"]), "left"
-    ).drop("p_image_id")
-    # partition by host (co-located with the wave) and pre-sort by the
-    # join keys: the cached ordering satisfies every round's sort-merge
-    # join, so the heavy (bytes-carrying) side is never sorted again.
-    return web.repartition(num_partitions, "g_host").sortWithinPartitions(
+    return lg.repartition(num_partitions, "g_host").sortWithinPartitions(
         "g_host", "g_url"
     )
 
 
-def synthetic_fetch(wave: DataFrame, web: DataFrame) -> DataFrame:
-    """Join the scheduled wave against the pre-built synthetic web.
+def build_payload_cache(payloads: DataFrame, num_partitions: int) -> DataFrame:
+    """Image payloads hash-partitioned + pre-sorted on image_id: the
+    cached ordering makes every round's bytes join a sort-merge join
+    whose heavy side needs neither exchange nor sort — only the skinny
+    fetched-page side shuffles (~wave-size rows of metadata)."""
+    p = payloads.select(
+        F.col("image_id").alias("p_image_id"),
+        F.col("bytes"),
+        F.col("fmt"),
+        F.col("caption"),
+        F.col("phash").alias("expected_phash"),
+        F.col("w").alias("expected_w"),
+        F.col("h").alias("expected_h"),
+    )
+    return p.repartition(num_partitions, "p_image_id").sortWithinPartitions(
+        "p_image_id"
+    )
+
+
+def synthetic_fetch(
+    wave: DataFrame, web: DataFrame, payloads: DataFrame | None = None
+) -> DataFrame:
+    """Join the scheduled wave against the synthetic web, then attach
+    payload bytes for 200-status rows from the image_id-keyed cache.
 
     URLs absent from the web come back status=404 (dead link), the same
     observable as a live 404 (/root/reference/src/handlers/HTTPDefaultHandler.py:46-49).
 
-    The join keys are (host, url) — host is derivable from url, so the
-    extra key changes nothing semantically, but it lets Catalyst prove
-    the wave's hash(host) partitioning co-locates with the cached web's
-    and plan the join with ZERO exchange on either side.
+    The page-join keys are (host, url) — host is derivable from url, so
+    the extra key changes nothing semantically, but it lets Catalyst
+    prove the wave's hash(host) partitioning co-locates with the cached
+    web's and plan the join with ZERO exchange on either side.  The
+    payload join exchanges only the fetched metadata rows (bytes never
+    shuffle; they flow from the cache straight into the decode
+    projection downstream).
     """
     j = wave.join(
         web,
         (wave["host"] == web["g_host"]) & (wave["url"] == web["g_url"]),
         "left",
     ).drop("g_host", "g_url")
-    return j.withColumn("status", F.coalesce(F.col("status"), F.lit(404)))
+    j = j.withColumn("status", F.coalesce(F.col("status"), F.lit(404)))
+    if payloads is not None:
+        j = j.join(
+            payloads,
+            (j["status"] == 200) & (j["image_id"] == payloads["p_image_id"]),
+            "left",
+        ).drop("p_image_id")
+    return j
 
 
 def http_fetch_stub(wave: DataFrame) -> DataFrame:

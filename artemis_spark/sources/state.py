@@ -33,6 +33,11 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Per-table primary key for delta-chain reconstruction (last-writer-wins
+# on this key).  Only tables registered here may use write_version_delta.
+DELTA_KEYS = {"url_seen": "url"}
 
 
 class StateStore:
@@ -55,16 +60,30 @@ class StateStore:
         round_no: int,
         table_versions: dict[str, int],
         meta: dict | None = None,
+        delta_chains: dict[str, list[int]] | None = None,
     ) -> None:
         """Atomically publish a round: the snapshot pointer swap.
 
         ``meta`` entries (e.g. the pinned state_buckets modulus) are
-        merged into the manifest top level."""
+        merged into the manifest top level.  ``delta_chains`` records,
+        per delta-layout table, the ordered version list (base first)
+        that reconstructs the current state; a compaction resets the
+        chain to ``[new_base]``."""
         m = self.manifest()
         m["round"] = round_no
         m["tables"].update({k: int(v) for k, v in table_versions.items()})
         if meta:
             m.update(meta)
+        if delta_chains:
+            m.setdefault("delta_chains", {}).update(
+                {t: [int(v) for v in c] for t, c in delta_chains.items()}
+            )
+        # a table committed WITHOUT an explicit chain entry was plain-
+        # written: its new version supersedes any prior delta chain, so
+        # drop the stale chain instead of reconstructing from old versions
+        for t in table_versions:
+            if not (delta_chains and t in delta_chains):
+                m.get("delta_chains", {}).pop(t, None)
         tmp = self._manifest_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(m, f, indent=1, sort_keys=True)
@@ -81,7 +100,22 @@ class StateStore:
     def current_version(self, table: str) -> int:
         return int(self.manifest()["tables"].get(table, -1))
 
+    def delta_chain(self, table: str) -> list[int]:
+        return [int(v) for v in self.manifest().get("delta_chains", {}).get(table, [])]
+
+    def _has_files(self, path: str) -> bool:
+        return any(
+            f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs
+        )
+
     def read(self, table: str, schema=None) -> DataFrame | None:
+        chain = self.delta_chain(table)
+        if len(chain) > 1:
+            live = [v for v in chain if self._has_files(self._vdir(table, v))]
+            if live:
+                return self._read_chain(table, live)
+            # fall through: an entirely-empty chain behaves like an
+            # empty table (schema-typed below)
         v = self.current_version(table)
         if v < 0:
             if schema is not None:
@@ -90,11 +124,32 @@ class StateStore:
         path = self._vdir(table, v)
         # a bucketed write of an empty update set leaves a version dir with
         # no parquet files — schema inference would fail on it
-        if schema is not None and not any(
-            f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs
-        ):
+        if schema is not None and not self._has_files(path):
             return self.spark.createDataFrame([], schema)
         return self.spark.read.parquet(path)
+
+    def _read_chain(self, table: str, chain: list[int]) -> DataFrame:
+        """Merge-on-read for a delta-layout table: base + deltas unioned
+        with a chain sequence number, then last-writer-wins per key via
+        one ``max_by`` hash aggregate.  Grouping includes the stored
+        ``bucket`` partition column (functionally dependent on the key's
+        host), so bucket predicates above this read still prune the
+        scan.  This is the read-side cost of O(|updates|)-per-round
+        writes; compaction bounds the chain length."""
+        key = DELTA_KEYS[table]
+        dfs = [
+            self.spark.read.parquet(self._vdir(table, v)).withColumn("_seq", F.lit(i))
+            for i, v in enumerate(chain)
+        ]
+        u = dfs[0]
+        for d in dfs[1:]:
+            u = u.unionByName(d)
+        val_cols = [c for c in u.columns if c not in (key, "bucket", "_seq")]
+        return (
+            u.groupBy(key, "bucket")
+            .agg(F.max_by(F.struct(*val_cols), F.col("_seq")).alias("_r"))
+            .select(key, "_r.*", "bucket")
+        )
 
     def write_version(self, table: str, df: DataFrame) -> int:
         """Write df as the next version dir; returns the version number
@@ -106,8 +161,29 @@ class StateStore:
         df.write.mode("overwrite").parquet(path)
         return v
 
+    def write_version_delta(self, table: str, upd_df: DataFrame) -> int:
+        """Append-only delta version for a delta-chain table: writes ONLY
+        the round's update rows (bucket-partitioned, same modulus as the
+        base) — per-round write cost is O(|updates|) regardless of how
+        many buckets they touch.  The caller records the new version in
+        the manifest's ``delta_chains`` via commit(); read() then
+        reconstructs last-writer-wins.  This is the parquet stand-in for
+        Iceberg's merge-on-read delete/data files."""
+        if table not in DELTA_KEYS:
+            raise ValueError(f"no delta key registered for table {table!r}")
+        v = self.current_version(table) + 1
+        path = self._vdir(table, v)
+        if os.path.exists(path):  # leftover from a crashed round
+            shutil.rmtree(path)
+        upd_df.write.mode("overwrite").partitionBy("bucket").parquet(path)
+        return v
+
     def write_version_bucketed(
-        self, table: str, dirty_df: DataFrame, dirty_buckets: list[int]
+        self,
+        table: str,
+        dirty_df: DataFrame,
+        dirty_buckets: list[int],
+        link_clean: bool = True,
     ) -> int:
         """Incremental version write for a host-bucketed state table.
 
@@ -126,7 +202,7 @@ class StateStore:
             shutil.rmtree(path)
         dirty_df.write.mode("overwrite").partitionBy("bucket").parquet(path)
         cur_v = self.current_version(table)
-        if cur_v >= 0:
+        if link_clean and cur_v >= 0:
             cur = self._vdir(table, cur_v)
             dirty = set(int(b) for b in dirty_buckets)
             for d in os.listdir(cur):
@@ -180,12 +256,22 @@ class StateStore:
     # -- GC ----------------------------------------------------------------------
 
     def vacuum(self, keep_last: int = 2) -> None:
-        """Drop version dirs older than the committed one (minus keep_last)."""
+        """Drop version dirs older than the committed one (minus keep_last).
+
+        Versions referenced by a live delta chain are never dropped — a
+        chain's base stays reachable however many deltas follow it."""
         m = self.manifest()
+        chains = m.get("delta_chains", {})
         for table, v in m["tables"].items():
             tdir = os.path.join(self.root, table)
             if not os.path.isdir(tdir):
                 continue
+            pinned = {int(x) for x in chains.get(table, [])}
             for d in os.listdir(tdir):
-                if d.startswith("v") and d[1:].isdigit() and int(d[1:]) < v - keep_last + 1:
+                if (
+                    d.startswith("v")
+                    and d[1:].isdigit()
+                    and int(d[1:]) < v - keep_last + 1
+                    and int(d[1:]) not in pinned
+                ):
                     shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)

@@ -90,6 +90,11 @@ def bench_crawl(spark, tier: str, rounds: int, budget: int) -> dict:
         bloom_shards=cpus * 2,
         light_stats=True,
         revisit_delay_rounds=int(os.environ.get("ARTEMIS_BENCH_REVISIT", str(10**6))),
+        # A/B knobs: quantify the cost of the real per-round work
+        # (markup extraction over page bytes, payload decode+phash) vs
+        # the scheduler core — VERDICT r02 asked for this controlled split
+        extract_markup=bool(int(os.environ.get("ARTEMIS_BENCH_MARKUP", "1"))),
+        decode_payloads=bool(int(os.environ.get("ARTEMIS_BENCH_DECODE", "1"))),
     )
     eng = CrawlEngine(spark, web_dir, state_dir, cfg, seeds_path=seeds_path)
     t0 = time.monotonic()

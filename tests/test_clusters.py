@@ -10,6 +10,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from artemis_spark.operators.clusters import (  # noqa: E402
     connected_components,
+    connected_components_star,
     dedup_clusters,
 )
 
@@ -60,6 +61,44 @@ def test_random_graph_matches_union_find(spark):
     ids = list(range(200))
     edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(120)]
     _run(spark, ids, edges)
+
+
+def _run_star(spark, ids, edges, stats=None):
+    nodes = spark.createDataFrame([(i,) for i in ids], "id: long")
+    e = spark.createDataFrame(edges or [(None, None)], "src: long, dst: long").where(
+        "src IS NOT NULL"
+    )
+    got = {
+        r["id"]: r["comp"]
+        for r in connected_components_star(e, nodes, stats=stats).collect()
+    }
+    assert got == _union_find(ids, edges)
+
+
+def test_star_agrees_on_fixtures(spark):
+    # same fixtures as min-label propagation (agreement requirement)
+    _run_star(spark, list(range(7)), [(1, 2), (2, 3), (5, 6)])
+    _run_star(spark, list(range(10)), [(i, i + 1) for i in range(9)])
+
+
+def test_star_random_graph(spark):
+    import random
+
+    rng = random.Random(7)
+    ids = list(range(200))
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(120)]
+    _run_star(spark, ids, edges)
+
+
+def test_star_chain_olog_rounds(spark):
+    # 1000-node chain: diameter 999 — label propagation needs O(diameter)
+    # rounds; large-star/small-star must converge in O(log n) (~10 + slack)
+    import math
+
+    n = 1000
+    stats = {}
+    _run_star(spark, list(range(n)), [(i, i + 1) for i in range(n - 1)], stats)
+    assert stats["rounds"] <= 2 * int(math.log2(n)) + 2, stats
 
 
 def test_dedup_clusters_keep_policy(spark):

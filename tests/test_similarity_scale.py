@@ -73,6 +73,47 @@ def test_max_bucket_cap_bounds_worst_case(spark):
     assert uncapped_ids == 500 * 499 // 2  # degenerate case IS quadratic uncapped
 
 
+def test_jaccard_max_df_cap_bounds_stop_shingle(spark):
+    """VERDICT r02 #7: a stop-shingle shared by k docs makes the exact
+    posting-list join quadratic (k^2 rows).  With max_df, hot shingles
+    are dropped before the join: pair work is bounded and the near-dup
+    pairs driven by rare shingles are unchanged."""
+    from artemis_spark.operators.dedup_text import jaccard_pairs, word_shingles
+
+    # 200 docs all sharing one injected stop sentence; docs 2i/2i+1 are
+    # true near-dups via a long rare-shingle body
+    stop = "the quick brown fox jumps"
+    docs = []
+    for i in range(200):
+        body = f"unique body {i // 2} " + " ".join(
+            f"tok{i // 2}_{j}" for j in range(20)
+        )
+        docs.append((i, f"{stop} {body}"))
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    sh = word_shingles(df, "doc_id", "text", n=3).cache()
+
+    capped = jaccard_pairs(sh, "doc_id", num=1, den=2, max_df=10)
+    uncapped = jaccard_pairs(sh, "doc_id", num=1, den=2)
+    got = {(r["doc1"], r["doc2"]) for r in capped.collect()}
+    want = {(r["doc1"], r["doc2"]) for r in uncapped.collect()}
+    # the true near-dup pairs survive the cap exactly
+    assert want == {(2 * i, 2 * i + 1) for i in range(100)}
+    assert got == want
+    # and the join-side posting lists are bounded: no shingle appears
+    # more than max_df times after the cap
+    from pyspark.sql import functions as F2
+
+    hot = (
+        sh.join(
+            sh.groupBy("shingle").agg(F2.count("*").alias("df")), "shingle"
+        )
+        .where(F2.col("df") > 10)
+        .count()
+    )
+    assert hot > 0, "fixture must actually contain hot shingles"
+    sh.unpersist()
+
+
 def test_banded_near_dup_pairs_are_exactly_verified(spark, vectors):
     small = vectors.where(F.col("vec_id") < 500)
     got = embedding_near_dup_pairs_banded(small, d=D, bands=BANDS, threshold_milli=300)

@@ -56,8 +56,10 @@ def test_untouched_buckets_hardlinked_in_crawl(spark, tmp_path, tiny_web):
     their buckets over as hard links instead of rewriting them."""
     eng = CrawlEngine(
         spark, tiny_web, str(tmp_path / "state"),
+        # delta chain off: this test pins the bucketed-rewrite layout
+        # (hard-linked clean buckets); the delta layout has its own tests
         CrawlConfig(politeness_budget=25, num_partitions=4, bloom_shards=8,
-                    state_buckets=256),
+                    state_buckets=256, state_delta_max_chain=0),
     )
     eng.run(6)
     root = os.path.join(str(tmp_path / "state"), "url_seen")

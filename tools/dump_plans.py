@@ -50,7 +50,8 @@ def main() -> None:
     eng = CrawlEngine(
         spark, web, state, CrawlConfig(politeness_budget=5, num_partitions=8)
     )
-    eng.web.count()  # materialize cache so plans show InMemoryTableScan
+    eng.web.count()  # materialize caches so plans show InMemoryTableScan
+    eng.payload_cache.count()
 
     sections = []
 
@@ -72,7 +73,7 @@ def main() -> None:
         "(co-partitioned on hash(host), cache pre-sorted on the join "
         "keys); only the wave side exchanges.  (At the tiny fixture size "
         "AQE instead broadcasts the web — also correct.)",
-        plan_of(synthetic_fetch(wave, eng.web)),
+        plan_of(synthetic_fetch(wave, eng.web, eng.payload_cache)),
     ))
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
 
