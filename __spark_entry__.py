@@ -740,6 +740,65 @@ def q_auth_routing(spark, sf_dir):
     )
 
 
+def q_auth_session_join(spark, sf_dir):
+    """Auth session gate (reference AccreditationCache.py:18-30,
+    FormHandler.py:9-36, User.py:28-37): gated candidates join the
+    live-session set — 'fetch' under a live session, 'defer_retry'
+    (refresh_rate=0, re-emitted next round) when a credentials row
+    exists, 'defer_forever' (max backoff) otherwise.  Standalone
+    oracle-checked mirror of the round-loop gate in plans/crawl.py."""
+    R = 2  # evaluation round ("now" on the logical clock)
+    cust = _t(spark, sf_dir, "customer")
+    cands = cust.select(
+        F.expr(_RAW_URL_SPARK).alias("raw"),
+        (F.col("c_custkey") % 50).cast("long").alias("hostnum"),
+    ).select(canonicalize(F.col("raw")).alias("url"), "hostnum")
+    rules = (
+        cands.select("hostnum")
+        .distinct()
+        .select(
+            "hostnum",
+            F.when(F.col("hostnum") % 17 == 7, F.lit("form"))
+            .when(F.col("hostnum") % 23 == 11, F.lit("http_basic"))
+            .alias("auth"),
+        )
+        .filter(F.col("auth").isNotNull())
+    )
+    # credentials fixture shape (datagen.gen_credentials): every form
+    # host has an account, http_basic only the even ones
+    creds = rules.filter(
+        (F.col("auth") == "form")
+        | ((F.col("auth") == "http_basic") & (F.col("hostnum") % 2 == 0))
+    ).select("hostnum", F.lit(7200).alias("lifetime_s"))
+    # deterministic login times: host h logged in at round h % 3; live
+    # at round R iff (R - established) * ROUND_SECONDS < lifetime
+    live = creds.filter(
+        (F.lit(R) - F.col("hostnum") % 3) * 3600 < F.col("lifetime_s")
+    ).select("hostnum", F.lit(True).alias("live"))
+    has_cred = creds.select("hostnum", F.lit(True).alias("has_cred"))
+    joined = (
+        cands.join(F.broadcast(rules), "hostnum", "left")
+        .withColumn("auth", F.coalesce(F.col("auth"), F.lit("no")))
+        .join(F.broadcast(live), "hostnum", "left")
+        .join(F.broadcast(has_cred), "hostnum", "left")
+    )
+    fetches = (F.col("auth") == "no") | F.col("live").isNotNull()
+    return joined.select(
+        "url",
+        "hostnum",
+        "auth",
+        F.when(fetches, F.lit("fetch"))
+        .when(F.col("has_cred").isNotNull(), F.lit("defer_retry"))
+        .otherwise(F.lit("defer_forever"))
+        .alias("action"),
+        F.when(fetches, F.lit(None).cast("int"))
+        .when(F.col("has_cred").isNotNull(), F.lit(0))
+        .otherwise(F.lit(20))
+        .cast("int")
+        .alias("refresh_rate"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "url_canonicalize": q_url_canonicalize,
@@ -776,6 +835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_links_markup": q_extract_links_markup,
         "extract_sitemap_locs": q_extract_sitemap_locs,
         "auth_routing": q_auth_routing,
+        "auth_session_join": q_auth_session_join,
         "ftp_listing_parse": q_ftp_listing_parse,
         "crawl_round_tiny": q_crawl_round_tiny,
         "multimodal_decode": q_multimodal_decode,
@@ -1316,4 +1376,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, c.hostnum, coalesce(r.auth, 'no') AS auth,
                    coalesce(r.auth, 'no') <> 'no' AS deferred
             FROM c LEFT JOIN r ON c.hostnum = r.hostnum""",
+        "auth_session_join": f"""
+            WITH c AS (
+              SELECT {_CANON_URL_SQL} AS url,
+                     (c_custkey % 50)::BIGINT AS hostnum
+              FROM customer),
+            r AS (
+              SELECT DISTINCT hostnum,
+                     CASE WHEN hostnum % 17 = 7 THEN 'form'
+                          WHEN hostnum % 23 = 11 THEN 'http_basic' END AS auth
+              FROM c WHERE hostnum % 17 = 7 OR hostnum % 23 = 11),
+            cr AS (
+              SELECT hostnum, 7200 AS lifetime_s FROM r
+              WHERE auth = 'form' OR (auth = 'http_basic' AND hostnum % 2 = 0)),
+            lv AS (
+              SELECT hostnum FROM cr WHERE (2 - hostnum % 3) * 3600 < lifetime_s)
+            SELECT c.url, c.hostnum, coalesce(r.auth, 'no') AS auth,
+                   CASE WHEN coalesce(r.auth, 'no') = 'no'
+                             OR lv.hostnum IS NOT NULL THEN 'fetch'
+                        WHEN cr.hostnum IS NOT NULL THEN 'defer_retry'
+                        ELSE 'defer_forever' END AS action,
+                   (CASE WHEN coalesce(r.auth, 'no') = 'no'
+                              OR lv.hostnum IS NOT NULL THEN NULL
+                         WHEN cr.hostnum IS NOT NULL THEN 0
+                         ELSE 20 END)::INT AS refresh_rate
+            FROM c LEFT JOIN r ON c.hostnum = r.hostnum
+                   LEFT JOIN cr ON c.hostnum = cr.hostnum
+                   LEFT JOIN lv ON c.hostnum = lv.hostnum""",
     }

@@ -24,6 +24,7 @@ from dataclasses import dataclass, field
 
 import pyarrow.parquet as pq
 
+from .rounds import ROUND_SECONDS
 from .schemas import MAX_REFRESH_RATE
 
 _SCHEME_RE = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.\-]*):")
@@ -183,6 +184,17 @@ class ReferenceModel:
             self.auth_rules = {r["host"]: r["auth"] for r in ar}
         except FileNotFoundError:
             pass
+        # per-host accounts (reference users table, User.py:28-37);
+        # host -> session lifetime in seconds.  Hosts absent here can
+        # never establish a session and defer forever.
+        self.credentials: dict[str, int] = {}
+        try:
+            cr = pq.read_table(f"{web_dir}/credentials.parquet").to_pylist()
+            self.credentials = {r["host"]: int(r["lifetime_s"]) for r in cr}
+        except FileNotFoundError:
+            pass
+        # host -> round the login was performed (AccreditationCache.py:18-30)
+        self.sessions: dict[str, int] = {}
         self.seed_rows = pq.read_table(f"{web_dir}/seeds.parquet").to_pylist()
 
         self.seen: dict[str, SeenEntry] = {}
@@ -261,15 +273,30 @@ class ReferenceModel:
         # F5 robots
         allowed = [c for c in schedulable if self._robots_allowed(c["url"])]
         blocked = [c for c in schedulable if not self._robots_allowed(c["url"])]
-        # auth routing: auth-gated hosts are deferred, not fetched
-        auth_deferred = [
-            c for c in allowed
-            if self.auth_rules.get(host_of(c["url"]), "no") != "no"
-        ]
-        allowed = [
-            c for c in allowed
-            if self.auth_rules.get(host_of(c["url"]), "no") == "no"
-        ]
+        # auth lifecycle: gated hosts fetch only under a LIVE session
+        # (now < established + lifetime); otherwise deferred — for one
+        # round if a credentials row exists (the login performed this
+        # round serves the next wave), forever if not.
+        def _sess_live(host: str) -> bool:
+            est = self.sessions.get(host)
+            return (
+                est is not None
+                and (r - est) * ROUND_SECONDS < self.credentials[host]
+            )
+
+        auth_deferred, auth_ok = [], []
+        for c in allowed:
+            h = host_of(c["url"])
+            if self.auth_rules.get(h, "no") == "no" or _sess_live(h):
+                auth_ok.append(c)
+            else:
+                auth_deferred.append(c)
+        allowed = auth_ok
+        # simulated login (FormHandler fill+submit): each deferred host
+        # with an account gets a fresh session stamped this round
+        for h in sorted({host_of(c["url"]) for c in auth_deferred}):
+            if h in self.credentials:
+                self.sessions[h] = r
         # score + politeness top-k
         by_host: dict[str, list[dict]] = {}
         for c in allowed:
@@ -290,10 +317,19 @@ class ReferenceModel:
         for c, status in [(c, ROBOTS_BLOCKED_STATUS) for c in blocked] + [
             (c, AUTH_DEFERRED_STATUS) for c in auth_deferred
         ]:
+            # deferred-with-credentials: refresh_rate=0 makes the recrawl
+            # scan re-emit the URL next round, when the session is live;
+            # robots blocks and credential-less hosts back off to MAX
+            rate = (
+                0
+                if status == AUTH_DEFERRED_STATUS
+                and host_of(c["url"]) in self.credentials
+                else MAX_REFRESH_RATE
+            )
             self.seen[c["url"]] = SeenEntry(
                 depth=c["depth"], score=0.0,
                 last_visited_round=c["last_visited"], last_controlled_round=r,
-                last_hash=c["last_hash"], refresh_rate=MAX_REFRESH_RATE,
+                last_hash=c["last_hash"], refresh_rate=rate,
                 nature=c["nature"], round_added=c["round_added"],
             )
             self.crawl_log.append(
@@ -327,7 +363,7 @@ class ReferenceModel:
                     image_id=image_id if saved else None,
                     phash=(pay["phash"] if (saved and pay and not is_sitemap) else None),
                     caption=(pay["caption"] if (saved and pay and not is_sitemap) else None),
-                    auth="no",
+                    auth=self.auth_rules.get(c["host"], "no"),
                 )
             )
             if status in (301, 302, 307, 308) and location:
@@ -340,7 +376,13 @@ class ReferenceModel:
                     if tgt:
                         next_frontier.append((tgt, c["depth"] + 1, classify_nature(tgt), r + 1))
                         inlink_delta[host_of(tgt)] = inlink_delta.get(host_of(tgt), 0) + 1
-            new_rate = min(MAX_REFRESH_RATE, c["refresh_rate"] + 1) if backoff else c["refresh_rate"]
+            # a completed fetch clears the refresh_rate=0 session-retry
+            # marker (mirrors greatest(1, rate) in plans/crawl.py)
+            new_rate = (
+                min(MAX_REFRESH_RATE, c["refresh_rate"] + 1)
+                if backoff
+                else max(1, c["refresh_rate"])
+            )
             self.seen[url] = SeenEntry(
                 depth=c["depth"], score=c["score"],
                 last_visited_round=r, last_controlled_round=r,

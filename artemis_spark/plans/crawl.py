@@ -160,6 +160,20 @@ class CrawlEngine:
             )
         else:
             self.auth_rules = spark.createDataFrame([], S.AUTH_RULES_SCHEMA)
+        # per-host login credentials (reference users table,
+        # /root/reference/src/accreditation/User.py:28-37); absent file ==
+        # no accounts == every auth-gated host stays deferred (r02 shape).
+        creds_path = f"{web_dir}/credentials.parquet"
+        if os.path.exists(creds_path):
+            self.credentials = spark.read.parquet(creds_path).select(
+                F.col("host").cast("string").alias("host"),
+                F.col("auth").cast("string").alias("auth"),
+                F.col("login").cast("string").alias("login"),
+                F.col("password").cast("string").alias("password"),
+                F.col("lifetime_s").cast("int").alias("lifetime_s"),
+            )
+        else:
+            self.credentials = spark.createDataFrame([], S.CREDENTIALS_SCHEMA)
         self.seeds = spark.read.parquet(self.seeds_path)
         self._bloom: BloomShards | None = None
         self._round_bcs: list = []  # per-round bloom broadcasts, destroyed at round end
@@ -383,11 +397,52 @@ class CrawlEngine:
         ).withColumn("auth", F.coalesce(F.col("auth"), F.lit("no")))
         allowed, robots_blocked = apply_robots(schedulable, new_cache, now)
 
-        # Auth routing skeleton: auth-gated hosts are flagged into a
-        # deferred stream instead of being silently fetched as plain URLs —
-        # the hook an accreditation-enabled fetcher would consume.
-        fetchable = allowed.filter(F.col("auth") == "no").drop("auth")
-        auth_deferred = allowed.filter(F.col("auth") != "no").cache()
+        # Auth lifecycle (reference AccreditationCache/FormHandler,
+        # /root/reference/src/accreditation/AccreditationCache.py:18-30,
+        # FormHandler.py:9-36): an auth-gated host's URLs are fetchable
+        # only under a LIVE session (now < established_at + lifetime_s).
+        # First contact defers the URLs for one round (the form must be
+        # fetched and parsed) while a login establishes the session; the
+        # next round's wave fetches them with the session marker.  Hosts
+        # with no credentials row defer forever (the r02 behavior).
+        auth_sessions = self.store.read("auth_sessions", S.AUTH_SESSIONS_SCHEMA)
+        live_sess_hosts = (
+            auth_sessions.filter(
+                F.unix_timestamp(F.lit(now))
+                < F.unix_timestamp("established_at") + F.col("lifetime_s")
+            )
+            .select("host")
+            .distinct()
+        )
+        gated = allowed.filter(F.col("auth") != "no")
+        fetchable = allowed.filter(F.col("auth") == "no").unionByName(
+            gated.join(F.broadcast(live_sess_hosts), "host", "left_semi")
+        )
+        auth_deferred = gated.join(
+            F.broadcast(live_sess_hosts), "host", "left_anti"
+        ).cache()
+
+        # Simulated login round: every deferred host with a credentials
+        # row gets a session stamped this round (deterministic session id
+        # — FormHandler fill_form + submit, minus the network).
+        new_sessions = (
+            auth_deferred.select("host")
+            .distinct()
+            .join(F.broadcast(self.credentials), "host", "inner")
+            .select(
+                "host",
+                "auth",
+                F.sha2(
+                    F.concat_ws("|", F.col("host"), F.col("login"), F.lit(str(r))),
+                    224,
+                ).alias("session_id"),
+                F.lit(now).alias("established_at"),
+                F.col("lifetime_s").cast("int").alias("lifetime_s"),
+            )
+        )
+        sessions_next = auth_sessions.join(
+            new_sessions.select("host"), "host", "left_anti"
+        ).unionByName(new_sessions)
 
         # §2.6 priority + politeness top-k
         host_stats_raw = self.store.read("host_stats", HOST_STATS_SCHEMA)
@@ -476,7 +531,7 @@ class CrawlEngine:
             F.when(F.col("saved"), F.col("caption")).alias("caption"),
             payload_ok.alias("payload_ok"),
             F.lit(now).alias("fetched_at"),
-            F.lit("no").alias("auth"),  # auth != 'no' is never fetched
+            "auth",  # 'no' for plain rows; auth nature for session fetches
         ).unionByName(
             robots_blocked.select(
                 F.lit(r).alias("round"),
@@ -578,14 +633,39 @@ class CrawlEngine:
             F.when(F.col("saved"), F.col("content_sha224"))
             .otherwise(F.col("last_hash"))
             .alias("last_hash"),
+            # greatest(1, ...): a completed session-fetch must clear the
+            # refresh_rate=0 retry marker set at deferral time, or the
+            # recrawl scan would re-emit the URL every round forever
             F.when(backoff_needed, bump_refresh_rate(F.col("refresh_rate")))
-            .otherwise(F.col("refresh_rate"))
+            .otherwise(F.greatest(F.lit(1), F.col("refresh_rate")))
             .cast("int")
             .alias("refresh_rate"),
             "nature",
             F.col("round_added"),
         ).unionByName(
-            robots_blocked.unionByName(auth_deferred).select(
+            # robots-blocked URLs back off to MAX (effectively never
+            # retried); auth-deferred URLs on hosts WITH credentials get
+            # refresh_rate=0 — the merge-on-read recrawl scan then
+            # re-emits them automatically next round, when the login
+            # session established this round is live (the deferred-stream
+            # consumption the r02 verdict asked for).  Credential-less
+            # auth hosts back off to MAX like robots blocks.
+            robots_blocked.withColumn("_rr", F.lit(MAX_REFRESH_RATE))
+            .unionByName(
+                auth_deferred.join(
+                    F.broadcast(
+                        self.credentials.select("host").withColumn("_hc", F.lit(True))
+                    ),
+                    "host",
+                    "left",
+                ).withColumn(
+                    "_rr",
+                    F.when(F.col("_hc"), F.lit(0)).otherwise(
+                        F.lit(MAX_REFRESH_RATE)
+                    ),
+                ).drop("_hc")
+            )
+            .select(
                 "url",
                 "host",
                 scheme_of(F.col("url")).alias("scheme"),
@@ -594,7 +674,7 @@ class CrawlEngine:
                 F.lit(None).cast("timestamp").alias("last_visited"),
                 F.lit(now).alias("last_controlled"),
                 F.col("last_hash"),
-                F.lit(MAX_REFRESH_RATE).alias("refresh_rate"),
+                F.col("_rr").alias("refresh_rate"),
                 "nature",
                 F.col("round_added"),
             )
@@ -826,6 +906,10 @@ class CrawlEngine:
                 "robots_cache", new_cache, refreshed, rc_has_bucket
             )
 
+        def _sessions():
+            # tiny per-host table (only auth-gated hosts ever get rows)
+            return self.store.write_version("auth_sessions", sessions_next)
+
         def _bloom():
             # incremental bloom update with this round's newly-seen URLs:
             # OR-merge + write happen INSIDE the executor task per shard
@@ -865,7 +949,7 @@ class CrawlEngine:
             self._bloom = None
             return cur_bv + 1
 
-        with ThreadPoolExecutor(max_workers=7) as pool:
+        with ThreadPoolExecutor(max_workers=8) as pool:
             f_log = pool.submit(_timed(_crawl_log))
             f_lin = pool.submit(_timed(_lineage))
             f_uv = pool.submit(_timed(_merge))
@@ -873,15 +957,17 @@ class CrawlEngine:
             f_fv = pool.submit(_timed(_frontier))
             f_bv = pool.submit(_timed(_bloom))
             f_rv = pool.submit(_timed(_robots_cache))
+            f_sv = pool.submit(_timed(_sessions))
             f_log.result()
             f_lin.result()
-            uv, hv, fv, bv, rv = (
-                f_uv.result(), f_hv.result(), f_fv.result(), f_bv.result(), f_rv.result()
+            uv, hv, fv, bv, rv, sv = (
+                f_uv.result(), f_hv.result(), f_fv.result(), f_bv.result(),
+                f_rv.result(), f_sv.result(),
             )
         self.store.commit(
             r,
             {"url_seen": uv, "host_stats": hv, "frontier": fv, "bloom": bv,
-             "robots_cache": rv},
+             "robots_cache": rv, "auth_sessions": sv},
             meta={"state_buckets": n_buckets},
             delta_chains={"url_seen": (cur_chain + [uv]) if will_delta else [uv]},
         )

@@ -1,14 +1,25 @@
-"""Auth routing skeleton (reference accreditationRules,
-/root/reference/src/Task.py:12,22-27,41): auth-gated hosts are
-classified from the per-host rules table and routed to a deferred
-stream — flagged in crawl_log, recorded in url_seen, never fetched."""
+"""Auth lifecycle (reference accreditation machinery,
+/root/reference/src/accreditation/AccreditationCache.py:18-30,
+FormHandler.py:9-36, User.py:28-37):
+
+  round d   — first contact with an auth-gated host: URLs deferred
+              (998), a login establishes a session (credentials table)
+  round d+1 — the same URLs re-emitted and fetched 200 under the live
+              session, crawl_log carries the auth-nature marker
+  round d+2 — session expired (lifetime_s=7200 == 2 logical rounds):
+              re-defer + re-login
+  no credentials row — deferred forever (the pre-session behavior)
+"""
 
 import os
+import shutil
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from artemis_spark.datagen import TIERS, gen_auth_rules  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from artemis_spark.datagen import TIERS, gen_auth_rules, gen_credentials  # noqa: E402
 from artemis_spark.plans.crawl import (  # noqa: E402
     AUTH_DEFERRED_STATUS,
     CrawlConfig,
@@ -24,27 +35,93 @@ def test_auth_rules_deterministic():
     assert "host0000.test" not in m  # defaultdict -> 'no'
 
 
-def test_auth_hosts_deferred_not_fetched(spark, tmp_path, tiny_web):
+def test_credentials_deterministic():
+    creds = gen_credentials(TIERS["small"])
+    hosts = set(creds["host"])
+    assert "host0007.test" in hosts  # form hosts always have an account
+    assert "host0034.test" in hosts  # http_basic, even k
+    assert "host0011.test" not in hosts  # http_basic, odd k: credential-less
+    assert (creds["lifetime_s"] == 7200).all()
+
+
+def test_auth_session_lifecycle(spark, tmp_path, tiny_web):
+    """host0007 (auth=form, credentials present) must flip 998 -> 200
+    exactly one round after discovery, fetch under a recorded session,
+    and re-defer when the session expires two rounds later."""
     eng = CrawlEngine(
         spark, tiny_web, str(tmp_path / "state"),
-        # high budget so host0007 (auth=form on the tiny tier) is reached
+        # revisit every round so the post-expiry re-defer is guaranteed
+        # to see host0007 candidates at round d+2
+        CrawlConfig(politeness_budget=25, num_partitions=4, bloom_shards=8,
+                    revisit_delay_rounds=1),
+    )
+    eng.run(6)
+    log = eng.store.read_appended("crawl_log")
+    h7 = log.filter(F.col("host") == "host0007.test").collect()
+    assert h7, "crawl never reached the auth-gated host"
+
+    by_round: dict[int, list] = {}
+    for row in h7:
+        by_round.setdefault(row["round"], []).append(row)
+    d = min(by_round)
+    # first contact: everything deferred, nothing fetched
+    assert all(r["status"] == AUTH_DEFERRED_STATUS for r in by_round[d])
+    assert all(r["image_id"] is None for r in by_round[d])
+    # one round later: every deferred URL fetched 200 under the session
+    nxt = {r["url"]: r for r in by_round.get(d + 1, [])}
+    for row in by_round[d]:
+        got = nxt.get(row["url"])
+        assert got is not None and got["status"] == 200, (
+            f"{row['url']} did not flip 998->200 at round {d + 1}"
+        )
+        assert got["auth"] == "form"
+    # session recorded with a deterministic id
+    sess = (
+        eng.store.read("auth_sessions")
+        .filter(F.col("host") == "host0007.test")
+        .collect()
+    )
+    assert sess and all(s["session_id"] and s["auth"] == "form" for s in sess)
+    # expiry: lifetime 7200s == 2 rounds, so round d+2 defers again
+    assert any(
+        r["status"] == AUTH_DEFERRED_STATUS for r in by_round.get(d + 2, [])
+    ), f"no re-deferral after session expiry (rounds seen: {sorted(by_round)})"
+    # ... and round d+3 fetches again under the re-login
+    assert any(r["status"] == 200 for r in by_round.get(d + 3, []))
+
+    # plain hosts still carry auth='no' on fetched rows
+    normal = (
+        log.filter((F.col("status") == 200) & (F.col("host") == "host0000.test"))
+        .limit(5)
+        .collect()
+    )
+    assert normal and all(r["auth"] == "no" for r in normal)
+
+
+def test_auth_without_credentials_defers_forever(spark, tmp_path, tiny_web):
+    """No credentials row == the pre-session behavior: deferred every
+    contact, never fetched, url_seen backed off to MAX."""
+    web = str(tmp_path / "web_nocreds")
+    shutil.copytree(tiny_web, web)
+    os.remove(os.path.join(web, "credentials.parquet"))
+    eng = CrawlEngine(
+        spark, web, str(tmp_path / "state"),
         CrawlConfig(politeness_budget=25, num_partitions=4, bloom_shards=8),
     )
     eng.run(4)
     log = eng.store.read_appended("crawl_log")
-    h7 = log.filter(log["host"] == "host0007.test").collect()
+    h7 = log.filter(F.col("host") == "host0007.test").collect()
     assert h7, "crawl never reached the auth-gated host"
     assert all(r["status"] == AUTH_DEFERRED_STATUS for r in h7)
     assert all(r["auth"] == "form" for r in h7)
-    assert all(r["image_id"] is None for r in h7)
-
-    # non-gated rows carry the marker too (auth='no')
-    normal = log.filter(log["status"] == 200).limit(5).collect()
-    assert normal and all(r["auth"] == "no" for r in normal)
-
-    # deferred URLs are recorded in url_seen (crawl-once semantics) with
-    # max backoff, exactly like robots-blocked URLs
     seen = eng.store.read("url_seen")
     h7_seen = seen.filter(seen["host"] == "host0007.test").collect()
     assert h7_seen and all(r["refresh_rate"] == 20 for r in h7_seen)
     assert all(r["last_visited"] is None for r in h7_seen)
+    # and no session was ever established
+    assert (
+        eng.store.read("auth_sessions")
+        .filter(F.col("host") == "host0007.test")
+        .count()
+        == 0
+    )
