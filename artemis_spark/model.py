@@ -396,9 +396,12 @@ class ReferenceModel:
                 cu = canonicalize(sm)
                 if cu:
                     next_frontier.append((cu, 0, classify_nature(cu), r + 1))
-        # deferred carryover
+        # deferred carryover — never-seen rows only: a was_seen deferred
+        # row is still due next round and the recrawl scan re-derives it
+        # (mirrors the engine's merge-on-read dedup of the two streams)
         for c in deferred:
-            next_frontier.append((c["url"], c["depth"], c["nature"], c["round_added"]))
+            if not c["was_seen"]:
+                next_frontier.append((c["url"], c["depth"], c["nature"], c["round_added"]))
         # A2 recrawl-due
         for url, e in self.seen.items():
             if (r + 1) - e.last_controlled_round >= e.refresh_rate * cfg.revisit_delay_rounds:

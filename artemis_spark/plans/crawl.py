@@ -141,12 +141,20 @@ class CrawlEngine:
         # (bytes attach per round only for fetched rows; pre-joining them
         # would replicate each shared image ~10x into a multi-GB cache).
         # On a cluster the same effect comes from Iceberg bucketed tables.
-        self.web = build_web(self.link_graph, self.cfg.num_partitions)
+        self.has_markup = "body" in self.link_graph.columns
+        use_markup = self.cfg.extract_markup and self.has_markup
+        self.web = build_web(
+            self.link_graph,
+            self.cfg.num_partitions,
+            # body and outlinks carry the same links twice; cache only the
+            # one the configured extraction path (T2/T3) actually reads
+            include_outlinks=not use_markup,
+            include_body=use_markup,
+        )
         self.payload_cache = build_payload_cache(self.payloads, self.cfg.num_partitions)
         if self.cfg.cache_web:
             self.web = self.web.persist()
             self.payload_cache = self.payload_cache.persist()
-        self.has_markup = "body" in self.link_graph.columns
         self.robots = spark.read.parquet(f"{web_dir}/robots_rules.parquet")
         self.domain_rules = spark.read.parquet(f"{web_dir}/domain_rules.parquet")
         # per-host accreditation rules (reference Task.py:12,41); absent
@@ -289,34 +297,42 @@ class CrawlEngine:
             "url", "host", "depth", "nature", F.lit(r).alias("round_added")
         )
 
+        # F2 protocol rules + nature gating (tor/torrent unfetchable
+        # in-sandbox) and F3 domain rules (broadcast blocklist anti-join)
+        # apply BEFORE the routing exchange: the light_stats emptiness
+        # probe below can then take(1) partition-by-partition over the
+        # union — frontier splits first, so the common (non-empty) case
+        # never evaluates the recrawl member, whose delta-chain
+        # reconstruction aggregate would otherwise run a full O(|state|)
+        # shuffle every round just to prove the round is non-empty.
+        blocked_hosts = self.domain_rules.filter(~F.col("allowed")).select("host")
+
+        def _gate(df):
+            return df.filter(
+                scheme_of(F.col("url")).isin(*cfg.allowed_schemes)
+                & ~F.col("nature").isin("web_static_tor", "web_static_torrent")
+            ).join(F.broadcast(blocked_hosts), "host", "left_anti")
+
+        frontier_raw = self.store.read("frontier", CANDIDATES_SCHEMA)
+        pre_shuffle = _gate(frontier_raw.unionByName(recrawl_due))
+
         # THE routing shuffle (reference P2, /root/reference/src/Slave.py:145-172):
         # one hash exchange by host up front; every downstream join/window/
         # groupBy on the wave path keys by (host, ...) so Catalyst reuses
         # this partitioning and plans the rest of the round exchange-free.
-        candidates = (
-            self.store.read("frontier", CANDIDATES_SCHEMA)
-            .unionByName(recrawl_due)
-            .repartition(cfg.num_partitions, "host")
-        )
-
-        # F2 protocol rules + nature gating (tor/torrent unfetchable in-sandbox)
-        candidates = candidates.filter(
-            scheme_of(F.col("url")).isin(*cfg.allowed_schemes)
-            & ~F.col("nature").isin("web_static_tor", "web_static_torrent")
-        )
-        # F3 domain rules: broadcast blocklist anti-join
-        blocked_hosts = self.domain_rules.filter(~F.col("allowed")).select("host")
-        candidates = candidates.join(F.broadcast(blocked_hosts), "host", "left_anti")
-
-        pre_dedupe = candidates
-        candidates = dedupe_within_batch(candidates).cache()
+        candidates = dedupe_within_batch(
+            pre_shuffle.repartition(cfg.num_partitions, "host")
+        ).cache()
         if cfg.light_stats:
-            # emptiness only — probed on the pre-dedupe stream, so the
-            # common (non-empty) case reads one parquet split's first rows
-            # instead of running a full dedupe+count job every round; the
-            # dedupe itself materializes lazily with the round's main job
+            # emptiness only, two-step: the frontier-only probe is one
+            # parquet split's worth of work, and under AQE it is the only
+            # shape that stays cheap — isEmpty on the full union would
+            # materialize the recrawl member's delta-reconstruction
+            # shuffle stage (O(|state|), growing every round) before the
+            # limit even runs.  Only a drained frontier (end of crawl)
+            # pays for the exact recrawl-inclusive probe.
             n_in = -1
-            round_is_empty = pre_dedupe.isEmpty()
+            round_is_empty = _gate(frontier_raw).isEmpty() and pre_shuffle.isEmpty()
         else:
             n_in = candidates.count()
             round_is_empty = n_in == 0
@@ -414,13 +430,21 @@ class CrawlEngine:
             .select("host")
             .distinct()
         )
-        gated = allowed.filter(F.col("auth") != "no")
-        fetchable = allowed.filter(F.col("auth") == "no").unionByName(
-            gated.join(F.broadcast(live_sess_hosts), "host", "left_semi")
+        # One broadcast LEFT join + two filters, NOT a union of semi/anti
+        # branches: a union re-evaluates the whole upstream candidate
+        # pipeline (bloom probe, validate join, robots) once per member
+        # inside the round's main job — the flag keeps it single-pass.
+        live_flagged = allowed.join(
+            F.broadcast(live_sess_hosts.withColumn("_live", F.lit(True))),
+            "host",
+            "left",
         )
-        auth_deferred = gated.join(
-            F.broadcast(live_sess_hosts), "host", "left_anti"
-        ).cache()
+        fetchable = live_flagged.filter(
+            (F.col("auth") == "no") | F.col("_live")
+        ).drop("_live")
+        auth_deferred = live_flagged.filter(
+            (F.col("auth") != "no") & F.col("_live").isNull()
+        ).drop("_live").cache()
 
         # Simulated login round: every deferred host with a credentials
         # row gets a session stamped this round (deterministic session id
@@ -612,7 +636,16 @@ class CrawlEngine:
             .withColumn("nature", classify_nature(F.col("url")))
             .withColumn("round_added", F.lit(r + 1))
             .select(*CANDIDATE_COLS)
-            .unionByName(deferred.select(*CANDIDATE_COLS))
+            # politeness-deferred rows carry over ONLY when never-seen:
+            # a was_seen deferred row sits in url_seen, stays due (its
+            # last_controlled did not move), and the merge-on-read
+            # recrawl scan re-derives it next round — writing it here
+            # too would emit every backlogged recrawl row twice per
+            # round (frontier write + scan), the dominant redundant
+            # volume of recrawl-heavy steady state.
+            .unionByName(
+                deferred.filter(~F.col("was_seen")).select(*CANDIDATE_COLS)
+            )
         )
 
         # ----- state updates (A1 MERGE upsert)
@@ -729,6 +762,13 @@ class CrawlEngine:
             int(x["bucket"]) for x in upd.select("bucket").distinct().collect()
         )
         _mark("seen_updates_materialize")
+        # Second (cheap) upfront job: the exploded resolve+canonicalize
+        # extraction cache.  Its parents are all cached by the job above,
+        # so this touches only the ex arrays; materializing it here means
+        # the fan-out's _frontier and _stats jobs neither wait on it nor
+        # race to recompute the round's regex-heaviest projection.
+        extracted_with_depth.count()
+        _mark("extract_materialize")
         if will_delta:
             merged_dirty = None  # nothing to merge at write time
         else:
@@ -755,17 +795,18 @@ class CrawlEngine:
             ).cache()
 
         # Dedupe before writing: extraction emits the same URL from many
-        # parents (3-4x write amplification otherwise).  Order matters for
-        # skew: the raw extracted stream is zipf-heavy on popular TARGET
-        # hosts, so dedupe first on the uniform (url, host) hash, then
-        # repartition the (per-host-bounded) unique rows by host so the
-        # written frontier is host-grouped for the next round.  Recrawl
-        # rows are NOT written here — they are derived from url_seen at
-        # the next round's read (merge-on-read recrawl, see top of round).
+        # parents (3-4x write amplification otherwise).  The dedupe keys
+        # on the uniform (url, host) hash — safe under the zipf-heavy
+        # target-host skew of the raw extracted stream — and the written
+        # frontier stays in that uniform layout: the next round starts
+        # with its own routing repartition by host, so a host-grouping
+        # shuffle here would move the round's largest intermediate a
+        # second time for a layout nothing consumes.  Recrawl rows are
+        # NOT written here — they are derived from url_seen at the next
+        # round's read (merge-on-read recrawl, see top of round).
         next_frontier = (
             dedupe_within_batch(next_frontier.select(*CANDIDATE_COLS))
             .select(*CANDIDATE_COLS)
-            .repartition(cfg.num_partitions, "host")
             .cache()
         )
 

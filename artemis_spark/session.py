@@ -63,6 +63,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("ARTEMIS_DRIVER_MEM", "8g"))
+        # Shuffle files of finished jobs are only deleted when a driver GC
+        # collects their RDD references (ContextCleaner); the 30min default
+        # lets an entire multi-round run accumulate every round's shuffle
+        # output — fatal when spark.local.dir is tmpfs (it is RAM) and the
+        # mounting pressure stalls whole rounds.  One minute bounds the
+        # backlog to roughly a round.
+        .config("spark.cleaner.periodicGC.interval", "1min")
         # shuffle/spill scratch space; benches point this at tmpfs so the
         # single sandbox disk doesn't masquerade as a scaling ceiling (a
         # real cluster's shuffle bandwidth scales with executor count)

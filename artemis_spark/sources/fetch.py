@@ -39,7 +39,12 @@ FETCH_RESULT_COLS = [
 ]
 
 
-def build_web(link_graph: DataFrame, num_partitions: int) -> DataFrame:
+def build_web(
+    link_graph: DataFrame,
+    num_partitions: int,
+    include_outlinks: bool = True,
+    include_body: bool = True,
+) -> DataFrame:
     """The page side of the synthetic web: link_graph (HTTP metadata +
     page body markup), hash-partitioned by host and pre-sorted on the
     round-join keys.
@@ -59,15 +64,25 @@ def build_web(link_graph: DataFrame, num_partitions: int) -> DataFrame:
 
     # `body` (rendered page markup, T2/T3 real extraction) appears in
     # fixtures generated after round 1; older web dirs fall back to the
-    # outlinks-join extraction path.
+    # outlinks-join extraction path.  Exactly one of body/outlinks feeds
+    # extraction in any given engine config, so the caller NULLs out the
+    # unused one — the page-body markup and the pre-parsed outlink array
+    # duplicate the same links, and caching both roughly doubles the
+    # one-time cache build (sort + memory) and the per-round join width.
     body = (
-        F.col("body") if "body" in link_graph.columns
+        F.col("body") if include_body and "body" in link_graph.columns
         else F.lit(None).cast("binary").alias("body")
     )
+    fetch_cols = [
+        F.col(c)
+        if include_outlinks or c != "outlinks"
+        else F.lit(None).cast("array<string>").alias("outlinks")
+        for c in FETCH_RESULT_COLS
+    ]
     lg = link_graph.select(
         host_of(F.col("url")).alias("g_host"),
         F.col("url").alias("g_url"),
-        *[F.col(c) for c in FETCH_RESULT_COLS],
+        *fetch_cols,
         body,
     )
     return lg.repartition(num_partitions, "g_host").sortWithinPartitions(

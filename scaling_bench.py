@@ -78,7 +78,10 @@ def run_at(cpus: int, tier: str, rounds: int, budget: int, reps: int) -> dict:
         os.makedirs("/dev/shm/spark-local", exist_ok=True)
         env.setdefault("ARTEMIS_LOCAL_DIR", "/dev/shm/spark-local")
         env.setdefault("ARTEMIS_STATE_BASE", "/dev/shm")
-    best, best_key = None, 0.0
+    # MEDIAN of reps, not best-of (r02 verdict: the graded efficiency
+    # evidence must be a median clearing the bar, with per-rep values
+    # disclosed so noisy shared-host draws are visible, not discarded)
+    runs = []
     for _ in range(reps):
         out = subprocess.run(
             [sys.executable, os.path.join(HERE, "bench.py"), "--crawl-only"],
@@ -89,13 +92,16 @@ def run_at(cpus: int, tier: str, rounds: int, budget: int, reps: int) -> dict:
         )
         line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
         crawl = json.loads(line)["crawl"]
-        # compare the SAME key on both sides (a None median falling back to
-        # urls_per_sec must not be compared against the other rep's median)
-        key = crawl.get("urls_per_sec_median_round") or crawl["urls_per_sec"]
-        if best is None or key > best_key:
-            best, best_key = crawl, key
-    best["reps"] = reps
-    return best
+        # rank reps on the SAME key (a None median falling back to
+        # urls_per_sec must not be compared against another rep's median)
+        crawl["_key"] = crawl.get("urls_per_sec_median_round") or crawl["urls_per_sec"]
+        runs.append(crawl)
+    runs.sort(key=lambda c: c["_key"])
+    med = runs[len(runs) // 2]
+    med["reps"] = reps
+    med["rep_medians"] = [r["_key"] for r in runs]
+    med.pop("_key", None)
+    return med
 
 
 def main() -> None:
@@ -147,8 +153,8 @@ def main() -> None:
         "URLs(scheduled+fetched)/sec over rounds 1..n (round 0 excluded:",
         "it pays the one-time web-cache build).",
         f"Each level runs {reps} rep(s); the reported run per level is the",
-        "one with the best median-round throughput (same selection as the",
-        "hw probe; noisy shared-host draws discarded, disclosed here).",
+        "MEDIAN rep by median-round throughput (all per-rep values are in",
+        "the raw JSON below as rep_medians — nothing discarded silently).",
         "",
         "| parallelism | median URLs/s | steady URLs/s |",
         "|---|---|---|",
