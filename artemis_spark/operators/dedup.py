@@ -88,24 +88,22 @@ def validate_against_seen(
     refresh_rate, was_seen.
     """
     seen = url_seen.select(
-        F.col("host").alias("s_host"),
         F.col("url").alias("s_url"),
         F.col("last_visited").alias("s_last_visited"),
         F.col("last_controlled").alias("s_last_controlled"),
         F.col("last_hash").alias("s_last_hash"),
         F.col("refresh_rate").alias("s_refresh_rate"),
     )
-    # (host, url) keys: host is derived from url, so the extra equality is
-    # a no-op semantically but lets the join reuse the wave's hash(host)
-    # partitioning — only the state side exchanges, and only by host.
-    # eqNullSafe on host: host is nullable in URL_SEEN_SCHEMA and a plain
-    # equality would silently never match a NULL-host state row, duplicating
-    # it in the merged state.
-    j = maybe_seen.join(
-        seen,
-        maybe_seen["host"].eqNullSafe(seen["s_host"]) & (maybe_seen["url"] == seen["s_url"]),
-        "left",
-    )
+    # url ALONE is the join key: it is url_seen's primary key (host is
+    # derived from it, so a host equality adds zero selectivity), and a
+    # single plain-equality key is the only shape under which the state
+    # side reuses the delta-reconstruction's hash(url) partitioning —
+    # the wide state never re-exchanges, only the narrow wave side
+    # shuffles.  The earlier (host eqNullSafe) compound key looked free
+    # but planned as (coalesce(host,''), isnull(host), url) exchanges on
+    # BOTH sides (PLANS.md), re-shuffling the full state every round;
+    # url-only also makes the NULL-host state-row concern moot.
+    j = maybe_seen.join(seen, maybe_seen["url"] == seen["s_url"], "left")
     # is_alive: now - last_controlled < refresh_rate * delay  (in rounds)
     age_rounds = (
         F.lit(current_round)

@@ -778,18 +778,14 @@ class CrawlEngine:
                 is_dirty = F.col("bucket").isin(dirty_buckets)
             else:
                 is_dirty = F.lit(False)
-            # eqNullSafe on host: a NULL-host historical row must still
-            # match its update or it would be duplicated in the merged state.
-            upd_keys = seen_updates.select(
-                F.col("host").alias("u_host"), F.col("url").alias("u_url")
-            )
+            # url alone is the key (primary key of url_seen; host is
+            # derived from it) — a single plain-equality key lets the
+            # state side reuse the reconstruction's hash(url)
+            # partitioning on compaction rounds (see dedup.py).
+            upd_keys = seen_updates.select(F.col("url").alias("u_url"))
             merged_dirty = (
                 cur_seen.filter(is_dirty)
-                .join(
-                    upd_keys,
-                    F.col("host").eqNullSafe(F.col("u_host")) & (F.col("url") == F.col("u_url")),
-                    "left_anti",
-                )
+                .join(upd_keys, F.col("url") == F.col("u_url"), "left_anti")
                 .select(*seen_cols, "bucket")
                 .unionByName(upd.select(*seen_cols, "bucket"))
             ).cache()

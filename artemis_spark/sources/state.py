@@ -144,23 +144,20 @@ class StateStore:
         u = dfs[0]
         for d in dfs[1:]:
             u = u.unionByName(d)
-        # Group on (host, key) when the table carries a host column: host
-        # is functionally dependent on the key (an extra grouping column
-        # changes nothing semantically), but it leaves the reconstruction
-        # hash-partitioned on exactly the (host, url) join keys every
-        # downstream consumer uses (validate-against-seen, compaction
-        # MERGE) — those joins then reuse this aggregate's exchange
+        # Group on the key ALONE (bucket, functionally dependent on the
+        # key's host, is folded in via max()): the reconstruction then
+        # leaves the state hash-partitioned on exactly the key its
+        # downstream joins use (validate-against-seen, compaction MERGE
+        # anti-join), so those joins reuse this aggregate's exchange
         # instead of re-shuffling the full state once more per round.
-        # bucket is functionally dependent on host, so max() is exact.
-        grp = ["host", key] if "host" in u.columns else [key]
-        val_cols = [c for c in u.columns if c not in (*grp, "bucket", "_seq")]
+        val_cols = [c for c in u.columns if c not in (key, "bucket", "_seq")]
         return (
-            u.groupBy(*grp)
+            u.groupBy(key)
             .agg(
                 F.max_by(F.struct(*val_cols), F.col("_seq")).alias("_r"),
                 F.max("bucket").alias("bucket"),
             )
-            .select(*grp, "_r.*", "bucket")
+            .select(key, "_r.*", "bucket")
         )
 
     def write_version(self, table: str, df: DataFrame) -> int:

@@ -117,7 +117,30 @@ def main() -> None:
         plan_of(seen.filter(F.col("bucket").isin(3, 7))),
     ))
 
-    # 5. headline oracle queries: pushdown + broadcast evidence
+    # 5. delta-chain reconstruction feeding the validate join: the
+    # reconstruction aggregate is keyed (host, url) precisely so the
+    # join reuses its exchange
+    from artemis_spark.operators.dedup import validate_against_seen
+
+    eng.run(2)  # extend the url_seen delta chain past one version
+    seen_chain = eng.store.read("url_seen")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sections.append((
+        "Validate-against-seen over the delta-chain state (broadcast "
+        "disabled to show the at-scale shape) — the state side MUST show "
+        "exactly ONE Exchange: the reconstruction aggregate's own "
+        "hashpartitioning(url), with neither a second Exchange nor a "
+        "separate Sort between the aggregate and the sort-merge join "
+        "(the aggregate's url ordering feeds the SMJ directly).  The "
+        "wide state shuffles once per round; only the narrow wave side "
+        "re-exchanges.  This is why the join key is url alone: the old "
+        "(host eqNullSafe, url) compound key planned as (coalesce, "
+        "isnull, url) exchanges on BOTH sides.",
+        plan_of(validate_against_seen(cands, seen_chain, 3, 1)),
+    ))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+    # 6. headline oracle queries: pushdown + broadcast evidence
     for name, why in [
         ("dedup_anti_join", "BroadcastHashJoin LeftAnti; the seen-side filter "
                             "l_returnflag='R' is pushed into the parquet scan "
