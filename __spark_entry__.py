@@ -30,7 +30,7 @@ from artemis_spark.functions.text import (
     n_tokens,
     stopword_count,
 )
-from artemis_spark.functions.urls import canonicalize
+from artemis_spark.functions.urls import canonicalize, onion_version, parse_magnet
 from artemis_spark.operators.dedup_text import (
     MERSENNE_P,
     _minhash_params,
@@ -799,6 +799,74 @@ def q_auth_session_join(spark, sf_dir):
     )
 
 
+def q_magnet_parse(spark, sf_dir):
+    """S6 torrent identity slice (reference Task.py:35-37,47-59,
+    Slave.py:383-474): magnet-URI grammar + info-hash dedup.  Synthetic
+    magnets derive deterministically from customer keys; ck%400 forces
+    info-hash collisions so the dedup (canonical = min ck per hash) is
+    exercised, and dn/tr params drop out on ck%5 / ck%7 / ck%3 so the
+    NULL/empty paths stay covered."""
+    cust = _t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey").cast("long")
+    ih = F.substring(F.sha2((ck % 400).cast("string"), 256), 1, 40)
+    uri = F.concat(
+        F.lit("magnet:?xt=urn:btih:"),
+        ih,
+        F.when(ck % 5 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("&dn=doc-"), ck.cast("string"))
+        ),
+        F.when(ck % 7 == 0, F.lit("")).otherwise(
+            F.lit("&tr=http%3A%2F%2Ftr1.test%2Fannounce")
+        ),
+        F.when(ck % 3 == 0, F.lit("")).otherwise(
+            F.lit("&tr=udp%3A%2F%2Ftr2.test%3A80")
+        ),
+    )
+    parsed = cust.select(ck.alias("ck"), uri.alias("uri")).select(
+        "ck", parse_magnet(F.col("uri")).alias("m")
+    )
+    w = Window.partitionBy("info_hash")
+    return (
+        parsed.select(
+            "ck",
+            F.col("m.info_hash").alias("info_hash"),
+            F.col("m.display_name").alias("display_name"),
+            F.size("m.trackers").alias("n_trackers"),
+        )
+        .withColumn("canonical_ck", F.min("ck").over(w))
+        .withColumn("is_dup", F.col("ck") != F.col("canonical_ck"))
+    )
+
+
+def q_onion_classify(spark, sf_dir):
+    """S4 tor routing slice (reference Task.py:33-34 suffix test,
+    HTTPDefaultHandler.py:66-89 SOCKS5 fetch — no egress in-sandbox):
+    onion-address version validation + the F2 routing verdict.  ck%4
+    cycles valid v3 / valid v2 / malformed .onion / plain web hosts."""
+    cust = _t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey").cast("long")
+    b32 = F.translate(F.sha2((ck % 97).cast("string"), 256), "0189", "wxyz")
+    host = (
+        F.when(ck % 4 == 0, F.concat(F.substring(b32, 1, 56), F.lit(".onion")))
+        .when(ck % 4 == 1, F.concat(F.substring(b32, 1, 16), F.lit(".onion")))
+        .when(ck % 4 == 2, F.concat(F.substring(b32, 1, 20), F.lit(".onion")))
+        .otherwise(F.concat(F.lit("host"), (ck % 50).cast("string"), F.lit(".test")))
+    )
+    df = cust.select(ck.alias("ck"), host.alias("host"))
+    v = onion_version(F.col("host"))
+    is_tor = F.col("host").endswith(".onion")
+    return df.select(
+        "ck",
+        "host",
+        v.alias("onion_version"),
+        is_tor.alias("is_tor"),
+        F.when(is_tor & v.isNotNull(), F.lit("tor_fetch_stub"))
+        .when(is_tor, F.lit("invalid_drop"))
+        .otherwise(F.lit("web"))
+        .alias("route"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "url_canonicalize": q_url_canonicalize,
@@ -837,6 +905,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auth_routing": q_auth_routing,
         "auth_session_join": q_auth_session_join,
         "ftp_listing_parse": q_ftp_listing_parse,
+        "magnet_parse": q_magnet_parse,
+        "onion_classify": q_onion_classify,
         "crawl_round_tiny": q_crawl_round_tiny,
         "multimodal_decode": q_multimodal_decode,
         "ann_brute_topk": q_ann_brute_topk,
@@ -1403,4 +1473,58 @@ def oracle_sql() -> dict[str, str]:
             FROM c LEFT JOIN r ON c.hostnum = r.hostnum
                    LEFT JOIN cr ON c.hostnum = cr.hostnum
                    LEFT JOIN lv ON c.hostnum = lv.hostnum""",
+        "magnet_parse": """
+            WITH u AS (
+              SELECT c_custkey::BIGINT AS ck,
+                     'magnet:?xt=urn:btih:'
+                     || substr(sha256((c_custkey % 400)::VARCHAR), 1, 40)
+                     || CASE WHEN c_custkey % 5 = 0 THEN ''
+                             ELSE '&dn=doc-' || c_custkey::VARCHAR END
+                     || CASE WHEN c_custkey % 7 = 0 THEN ''
+                             ELSE '&tr=http%3A%2F%2Ftr1.test%2Fannounce' END
+                     || CASE WHEN c_custkey % 3 = 0 THEN ''
+                             ELSE '&tr=udp%3A%2F%2Ftr2.test%3A80' END AS uri
+              FROM customer),
+            p AS (
+              SELECT ck,
+                     nullif(lower(regexp_extract(uri,
+                       '[?&]xt=urn:btih:([A-Fa-f0-9]{40}|[A-Za-z2-7]{32})', 1)),
+                       '') AS info_hash,
+                     nullif(regexp_extract(uri, '[?&]dn=([^&]*)', 1), '')
+                       AS display_name,
+                     len(regexp_extract_all(uri, '[?&]tr=([^&]*)', 1))::INT
+                       AS n_trackers
+              FROM u)
+            SELECT ck, info_hash, display_name, n_trackers,
+                   min(ck) OVER (PARTITION BY info_hash) AS canonical_ck,
+                   ck <> min(ck) OVER (PARTITION BY info_hash) AS is_dup
+            FROM p""",
+        "onion_classify": """
+            WITH h AS (
+              SELECT c_custkey::BIGINT AS ck,
+                     translate(sha256((c_custkey % 97)::VARCHAR),
+                               '0189', 'wxyz') AS b32
+              FROM customer),
+            d AS (
+              SELECT ck,
+                     CASE WHEN ck % 4 = 0 THEN substr(b32, 1, 56) || '.onion'
+                          WHEN ck % 4 = 1 THEN substr(b32, 1, 16) || '.onion'
+                          WHEN ck % 4 = 2 THEN substr(b32, 1, 20) || '.onion'
+                          ELSE 'host' || (ck % 50)::VARCHAR || '.test'
+                     END AS host
+              FROM h),
+            v AS (
+              SELECT ck, host,
+                     (CASE WHEN regexp_matches(host, '^[a-z2-7]{56}\\.onion$')
+                             THEN 3
+                           WHEN regexp_matches(host, '^[a-z2-7]{16}\\.onion$')
+                             THEN 2 END)::INT AS onion_version,
+                     host LIKE '%.onion' AS is_tor
+              FROM d)
+            SELECT ck, host, onion_version, is_tor,
+                   CASE WHEN is_tor AND onion_version IS NOT NULL
+                          THEN 'tor_fetch_stub'
+                        WHEN is_tor THEN 'invalid_drop'
+                        ELSE 'web' END AS route
+            FROM v""",
     }

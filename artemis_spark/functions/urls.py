@@ -138,3 +138,49 @@ def salted_host(host: Column, url: Column, salt: int) -> Column:
     ``salt`` subpartitions while staying deterministic per URL.
     """
     return F.concat_ws("#", host, F.pmod(F.xxhash64(url), F.lit(salt)).cast("string"))
+
+
+def parse_magnet(uri: Column) -> Column:
+    """Magnet-URI grammar — the S6 torrent identity slice.
+
+    The reference types any ``magnet:`` URL as a torrent task
+    (/root/reference/src/Task.py:35-37) and regenerates magnet URIs from
+    fetched .torrent metadata via ``lt.make_magnet_uri``
+    (/root/reference/src/Task.py:47-59); the transmission-rpc transfer
+    itself (/root/reference/src/Slave.py:383-474) needs a daemon socket
+    and stays stubbed in-sandbox (sources/torrents.py).  This parses the
+    identity fields the dataflow needs — all native expressions:
+
+      info_hash     xt=urn:btih:<40-hex | 32-base32>, lowercased — THE
+                    dedup key (two magnets with one info_hash are the
+                    same torrent regardless of dn/tr decoration)
+      display_name  dn= param, NULL when absent
+      trackers      every tr= param, in order (possibly empty array)
+    """
+    xt = F.regexp_extract(uri, r"[?&]xt=urn:btih:([A-Fa-f0-9]{40}|[A-Za-z2-7]{32})", 1)
+    return F.struct(
+        F.nullif(F.lower(xt), F.lit("")).alias("info_hash"),
+        F.nullif(F.regexp_extract(uri, r"[?&]dn=([^&]*)", 1), F.lit("")).alias(
+            "display_name"
+        ),
+        F.regexp_extract_all(uri, F.lit(r"[?&]tr=([^&]*)"), F.lit(1)).alias("trackers"),
+    )
+
+
+def onion_version(host: Column) -> Column:
+    """Onion-service address version — the S4 tor validity slice.
+
+    The reference types tor tasks by bare suffix test
+    (``netloc[-6:] == ".onion"``, /root/reference/src/Task.py:33-34) and
+    hands them to a SOCKS5 fetch (HTTPDefaultHandler.py:66-89, no
+    egress in-sandbox).  Versioning validates what the suffix test
+    accepts blindly: 3 for a v3 address (56 base32 chars), 2 for the
+    retired v2 format (16), NULL for anything else — the routing filter
+    can then drop malformed .onion hosts instead of queueing dead
+    fetches.
+    """
+    return (
+        F.when(host.rlike(r"^[a-z2-7]{56}\.onion$"), F.lit(3))
+        .when(host.rlike(r"^[a-z2-7]{16}\.onion$"), F.lit(2))
+        .cast("int")
+    )
