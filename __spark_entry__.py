@@ -47,6 +47,7 @@ from artemis_spark.operators.similarity import (
     bucketed_ann_topk,
     embedding_near_dup_pairs,
     embedding_near_dup_pairs_banded,
+    ivf_ann_topk,
 )
 
 
@@ -499,6 +500,17 @@ def q_ann_bucketed_d8(spark, sf_dir):
     return bucketed_ann_topk(emb, q, k=3, d=8).select("query_id", "rank", "neighbor_id")
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF ANN: 8 deterministic cells, 2 probed per query — the
+    data-dependent inverted-list counterpart of the sign-plane buckets
+    (operators/similarity.py ivf_ann_topk)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    return ivf_ann_topk(emb, q, k=3, n_cells=8, nprobe=2).select(
+        "query_id", "rank", "neighbor_id"
+    )
+
+
 def q_embedding_near_dup_banded(spark, sf_dir):
     """Near-dup pairs via banded sign-LSH (16 planes, 2 bands of 8):
     OR-amplified candidates, pair-deduped, exact-cosine verified —
@@ -912,6 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": q_ann_brute_topk,
         "ann_bucketed": q_ann_bucketed,
         "ann_bucketed_d8": q_ann_bucketed_d8,
+        "ann_ivf": q_ann_ivf,
         "embedding_near_dup_banded": q_embedding_near_dup_banded,
     }
 
@@ -1394,6 +1407,38 @@ def oracle_sql() -> dict[str, str]:
               SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                      round(list_cosine_similarity(q.v, c.v), 3) AS cos_sim
               FROM q JOIN c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id)
+            SELECT query_id, rank, neighbor_id FROM (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+              FROM scored) WHERE rank <= 3""",
+        "ann_ivf": """
+            WITH cents AS (
+              SELECT vec_id AS cell, embedding::DOUBLE[] AS cv
+              FROM embeddings ORDER BY vec_id LIMIT 8),
+            c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS v
+                  FROM embeddings),
+            asg AS (
+              SELECT neighbor_id, v, cell FROM (
+                SELECT c.neighbor_id, c.v, cents.cell,
+                       row_number() OVER (PARTITION BY c.neighbor_id
+                         ORDER BY round(list_cosine_similarity(c.v, cents.cv), 3)
+                                  DESC, cents.cell ASC) AS rk
+                FROM c CROSS JOIN cents) WHERE rk = 1),
+            q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+                  FROM embeddings WHERE vec_id < 10),
+            pr AS (
+              SELECT query_id, v, cell FROM (
+                SELECT q.query_id, q.v, cents.cell,
+                       row_number() OVER (PARTITION BY q.query_id
+                         ORDER BY round(list_cosine_similarity(q.v, cents.cv), 3)
+                                  DESC, cents.cell ASC) AS rk
+                FROM q CROSS JOIN cents) WHERE rk <= 2),
+            scored AS (
+              SELECT pr.query_id, asg.neighbor_id,
+                     round(list_cosine_similarity(pr.v, asg.v), 3) AS cos_sim
+              FROM asg JOIN pr USING (cell)
+              WHERE pr.query_id <> asg.neighbor_id)
             SELECT query_id, rank, neighbor_id FROM (
               SELECT query_id, neighbor_id,
                      row_number() OVER (PARTITION BY query_id

@@ -300,3 +300,95 @@ def embedding_near_dup_pairs(
         .where(F.col("cos_milli") >= threshold_milli)
         .select("vec1", "vec2", "cos_milli")
     )
+
+
+def ivf_ann_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantize the corpus into cells,
+    probe only the query's nearest cells.
+
+    The coarse quantizer here is deterministic — the ``n_cells`` corpus
+    vectors with the smallest ids serve as centroids — so the DuckDB
+    oracle reproduces the index bit-for-bit.  On a cluster the centroid
+    table is instead k-means output trained once and broadcast; every
+    other line is unchanged, which is the point: IVF's scale shape is
+    the two broadcast argmax joins, not the centroid fitting.
+
+      build:  corpus x centroids (broadcast, |C| rows) -> argmax cosine
+              -> cell column; this is the inverted list, and on 100 TB
+              it is written bucketed by cell so probes partition-prune
+      probe:  query x centroids -> top-``nprobe`` cells -> equi-join on
+              cell touches ~nprobe/n_cells of the corpus, exact cosine
+              + top-k window only within the probed lists
+
+    Complements ``bucketed_ann_topk`` (data-independent sign planes):
+    data-dependent cells adapt to clustered corpora where fixed planes
+    leave most buckets empty.  Cosine is rounded to 3dp BEFORE every
+    argmax/rank (ties by id) so engine and oracle order identically.
+    """
+    cents = (
+        embeddings.orderBy(F.col(id_col))
+        .limit(n_cells)
+        .select(
+            F.col(id_col).alias("cell"),
+            F.col(vec_col).cast("array<double>").alias("cent_vec"),
+        )
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    aw = Window.partitionBy("neighbor_id").orderBy(F.desc("a_sim"), F.asc("cell"))
+    assigned = (
+        c.join(F.broadcast(cents))
+        .withColumn(
+            "a_sim",
+            F.round(
+                cosine_expr(F.col("c_vec").cast("array<double>"), F.col("cent_vec")), 3
+            ),
+        )
+        .withColumn("_rk", F.row_number().over(aw))
+        .where(F.col("_rk") == 1)
+        .select("neighbor_id", "c_vec", "cell")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    qw = Window.partitionBy("query_id").orderBy(F.desc("p_sim"), F.asc("cell"))
+    probes = (
+        q.join(F.broadcast(cents))
+        .withColumn(
+            "p_sim",
+            F.round(
+                cosine_expr(F.col("q_vec").cast("array<double>"), F.col("cent_vec")), 3
+            ),
+        )
+        .withColumn("_rk", F.row_number().over(qw))
+        .where(F.col("_rk") <= nprobe)
+        .select("query_id", "q_vec", "cell")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                cosine_expr(
+                    F.col("q_vec").cast("array<double>"),
+                    F.col("c_vec").cast("array<double>"),
+                ),
+                3,
+            ),
+        )
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )

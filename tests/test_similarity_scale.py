@@ -152,3 +152,32 @@ def test_banded_ann_recall_vs_brute_force(spark, vectors):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"recall {recall:.2f} below floor"
+
+
+def test_ivf_exact_on_clustered_corpus(spark):
+    """IVF with one probed cell reproduces brute force exactly when the
+    corpus is well-clustered and the deterministic centroid seeds (the
+    n_cells lowest ids) land one per cluster — every true neighbor
+    shares the query's cell, so pruning 3/4 of the corpus loses nothing.
+    That is the IVF contract: data-DEPENDENT cells adapt to clustered
+    data where fixed sign planes leave buckets empty."""
+    from artemis_spark.operators.similarity import ivf_ann_topk
+
+    rows = []
+    for i in range(80):
+        c = i % 4  # ids 0..3 are one seed per cluster
+        vec = [0.0] * 4
+        vec[c] = 1.0
+        vec[(c + 1) % 4] = 0.01 * ((i * 37) % 10)  # deterministic jitter
+        rows.append((i, vec))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.where(F.col("vec_id") < 8)
+    ivf = {
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in ivf_ann_topk(emb, q, k=3, n_cells=4, nprobe=1).collect()
+    }
+    brute = {
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in brute_force_topk(emb, q, k=3).collect()
+    }
+    assert ivf == brute
