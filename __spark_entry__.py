@@ -64,13 +64,19 @@ def _cents(col) -> F.Column:
 # crawl operators can run over the driver's relational testdata)
 # ---------------------------------------------------------------------------
 
+# raw side exercises case-folding, ;params, #fragment AND dot segments
+# (./ ../ and above-root ../ — RFC 3986 §5.2.4); the oracle emits the
+# closed-form collapsed path per c_custkey % 4 class
 _RAW_URL_SPARK = (
-    "concat('HTTP://Host', cast(c_custkey % 50 as string), '.TEST/p', "
+    "concat('HTTP://Host', cast(c_custkey % 50 as string), '.TEST', "
+    "case cast(c_custkey % 4 as int) when 1 then '/a/./p' "
+    "when 2 then '/a/b/../p' when 3 then '/../p' else '/p' end, "
     "cast(c_custkey as string), ';sid=9?q=', c_mktsegment, '#frag')"
 )
 _CANON_URL_SQL = (
-    "'http://host' || (c_custkey % 50) || '.test/p' || c_custkey "
-    "|| '?q=' || c_mktsegment"
+    "'http://host' || (c_custkey % 50) || '.test' "
+    "|| (CASE c_custkey % 4 WHEN 1 THEN '/a/p' WHEN 2 THEN '/a/p' "
+    "ELSE '/p' END) || c_custkey || '?q=' || c_mktsegment"
 )
 
 

@@ -221,6 +221,15 @@ def gen_link_graph(spec: WebSpec, epoch: int = 0) -> pd.DataFrame:
     frag = weird & (qq >= 0.85)
     pages_s = pd.Series(tgt_page).astype(str)
     links[rel] = "page" + pages_s[rel]
+    # dot-segment relatives (lxml make_links_absolute collapses these;
+    # so do resolve_url+canonicalize): ./pageN, ../pageN (above root),
+    # and x/../pageN all canonicalize to /pageN — the model must agree
+    dot1 = rel & (qq < 0.13)
+    dot2 = rel & (qq >= 0.13) & (qq < 0.26)
+    dot3 = rel & (qq >= 0.26) & (qq < 0.33)
+    links[dot1] = ("./page" + pages_s)[dot1]
+    links[dot2] = ("../page" + pages_s)[dot2]
+    links[dot3] = ("sub/.././page" + pages_s)[dot3]
     proto_hosts = rng.choice(n_hosts, size=L, p=weights)
     links[proto] = (
         "//host" + pd.Series(proto_hosts).astype(str).str.zfill(4) + ".test/page" + pages_s

@@ -59,6 +59,44 @@ def query_of(url: Column) -> Column:
     return F.when(q != "", q)
 
 
+# detects any '.' or '..' path segment; kept identical to the gate in
+# model._remove_dot_segments so engine and fixture model collapse the
+# exact same inputs
+_DOT_SEG_RE = r"/\.\.?(/|$)"
+
+
+def remove_dot_segments(path: Column) -> Column:
+    """RFC 3986 §5.2.4 dot-segment removal over an absolute path.
+
+    The reference gets this from lxml ``make_links_absolute`` (urljoin,
+    /root/reference/src/extractors/ExtractorFactory.py:84-86): without
+    it ``/a/b/../c`` and ``/a/c`` are distinct url_seen keys and every
+    ``../``-relative link on a real web double-fetches.
+
+    Shape: the overwhelmingly common dot-free path takes only the
+    ``rlike`` gate (whole-stage codegen); rows that do contain a dot
+    segment pay one JVM-side higher-order fold over the split segments
+    (exact to any nesting depth — no bounded-iteration regex loop).
+    Trailing ``/.`` and ``/..`` are first rewritten to their
+    slash-terminated forms so the fold needs no last-segment special
+    case; empty segments (``//``) are preserved exactly as urljoin does.
+    """
+    pre = F.regexp_replace(path, r"/\.$", "/")
+    pre = F.regexp_replace(pre, r"/\.\.$", "/../")
+    segs = F.slice(F.split(pre, "/"), 2, 2_000_000_000)  # drop leading ''
+    folded = F.aggregate(
+        segs,
+        F.array().cast("array<string>"),
+        lambda acc, s: (
+            F.when(s == ".", acc)
+            .when(s == "..", F.slice(acc, F.lit(1), F.greatest(F.size(acc) - 1, F.lit(0))))
+            .otherwise(F.concat(acc, F.array(s)))
+        ),
+    )
+    collapsed = F.concat(F.lit("/"), F.array_join(folded, "/"))
+    return F.when(path.rlike(_DOT_SEG_RE), collapsed).otherwise(path)
+
+
 def canonicalize(url: Column) -> Column:
     """Canonical crawl-equivalence key: ``scheme://host/path[?query]``.
 
@@ -66,7 +104,10 @@ def canonicalize(url: Column) -> Column:
     /root/reference/src/extractors/ExtractorFactory.py:56-60 fills these
     from the parent; use :func:`resolve_url` first for outlinks).
     Lowercases scheme+host, keeps path case, drops fragment and params,
-    normalizes empty path to '/'.
+    normalizes empty path to '/', collapses ``.``/``..`` path segments
+    (RFC 3986 §5.2.4 — lxml ``make_links_absolute`` semantics, so both
+    dot-relative outlinks and absolute URLs with dot segments land on
+    one crawl-equivalence key).
     """
     u = F.trim(url)
     sch = scheme_of(u)
@@ -76,7 +117,7 @@ def canonicalize(url: Column) -> Column:
         sch,
         F.lit("://"),
         hst,
-        path_of(u),
+        remove_dot_segments(path_of(u)),
         F.when(q.isNotNull() & (q != ""), F.concat(F.lit("?"), q)).otherwise(F.lit("")),
     )
     # inner whitespace is always invalid (the rule is explicit so the
@@ -91,8 +132,9 @@ def resolve_url(parent: Column, child: Column) -> Column:
 
     Handles: absolute (own scheme), protocol-relative (``//h/p``),
     root-relative (``/p``), and sibling-relative (``p``) forms — the
-    shapes the synthetic web emits.  ``../`` segments are not collapsed
-    (the reference relies on lxml for that; flagged in SURVEY.md).
+    shapes the synthetic web emits.  ``./``/``../`` segments in the
+    merged path are collapsed by :func:`canonicalize` (RFC 3986
+    §5.2.4), matching lxml ``make_links_absolute``.
     Returns the *un-canonicalized* absolute URL; feed to canonicalize().
     """
     c = F.trim(child)

@@ -38,6 +38,25 @@ AUTH_DEFERRED_STATUS = 998
 # ---------------------------------------------------------------------------
 
 
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 — exact mirror of functions.urls.remove_dot_segments
+    (same gate regex, same trailing-segment pre-rewrite, same fold)."""
+    if not re.search(r"/\.\.?(/|$)", path):
+        return path
+    p = re.sub(r"/\.$", "/", path)
+    p = re.sub(r"/\.\.$", "/../", p)
+    out: list[str] = []
+    for seg in p.split("/")[1:]:
+        if seg == ".":
+            continue
+        if seg == "..":
+            if out:
+                out.pop()
+        else:
+            out.append(seg)
+    return "/" + "/".join(out)
+
+
 def canonicalize(url: str | None) -> str | None:
     if url is None:
         return None
@@ -74,6 +93,7 @@ def canonicalize(url: str | None) -> str | None:
     path = re.sub(r";.*$", "", path)
     if path == "":
         path = "/"
+    path = _remove_dot_segments(path)
     out = f"{scheme}://{host}{path}"
     if query:
         out += f"?{query}"

@@ -29,6 +29,12 @@ def _corpus(seed: int, n: int) -> list[str]:
             )
         elif kind < 0.5:  # relative-ish
             out.append("".join(rng.choices(string.ascii_lowercase + "/;#?", k=rng.randint(1, 15))))
+        elif kind < 0.7:  # dot-segment soup (RFC 3986 remove_dot_segments)
+            segs = rng.choices(
+                ["..", ".", "", "a", "b", "..x", "x..", ".y"], k=rng.randint(1, 8)
+            )
+            base = rng.choice(["http://Dot.test", "http://d.test", ""])
+            out.append(base + "/" + "/".join(segs) + rng.choice(["", "/", "/..", "/."]))
         else:  # byte soup
             out.append("".join(rng.choices(ALPHABET, k=rng.randint(0, 30))))
     return out

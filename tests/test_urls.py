@@ -21,6 +21,21 @@ CANON_CASES = [
     ("", None),
     ("magnet:?xt=urn:x", None),  # no netloc
     ("http:///nopath", None),  # empty host
+    # RFC 3986 §5.2.4 dot-segment removal (lxml make_links_absolute)
+    ("http://a.b/x/./y", "http://a.b/x/y"),
+    ("http://a.b/x/../y", "http://a.b/y"),
+    ("http://a.b/x/y/..", "http://a.b/x/"),
+    ("http://a.b/x/y/../", "http://a.b/x/"),
+    ("http://a.b/x/.", "http://a.b/x/"),
+    ("http://a.b/../x", "http://a.b/x"),  # above root: .. dropped
+    ("http://a.b/../../x", "http://a.b/x"),
+    ("http://a.b/a/b/c/../../d", "http://a.b/a/d"),
+    ("http://a.b/..", "http://a.b/"),
+    ("http://a.b/.", "http://a.b/"),
+    ("http://a.b/..x/y", "http://a.b/..x/y"),  # not a dot segment
+    ("http://a.b/x../y", "http://a.b/x../y"),
+    ("http://a.b//x/../y", "http://a.b//y"),  # empty segs preserved, poppable
+    ("http://a.b/x/..?q=1", "http://a.b/?q=1"),  # query survives collapse
 ]
 
 RESOLVE_CASES = [
@@ -30,6 +45,14 @@ RESOLVE_CASES = [
     ("http://h.test/dir/page", "https://e.test/y", "https://e.test/y"),
     ("http://h.test/page", "p2#f", "http://h.test/p2"),
     ("http://h.test/page", "", None),
+    # dot-relative outlinks collapse against the parent directory
+    ("http://h.test/dir/page", "../up", "http://h.test/up"),
+    ("http://h.test/dir/page", "./same", "http://h.test/dir/same"),
+    ("http://h.test/a/b/page", "../../root", "http://h.test/root"),
+    ("http://h.test/page", "../above", "http://h.test/above"),
+    ("http://h.test/dir/page", "sub/../x", "http://h.test/dir/x"),
+    ("http://h.test/dir/page", "..", "http://h.test/"),
+    ("http://h.test/dir/page", "https://e.test/a/../y", "https://e.test/y"),
 ]
 
 
