@@ -237,8 +237,20 @@ def update_and_save_shards(
             if os.path.exists(src):
                 part.bits[0] = np.load(src)
         part.add(0, pdf[url_col])
+        # idempotent under task retries / speculative execution: two
+        # attempts for the same shard must not interleave writes into
+        # one file, so each attempt writes its own temp name and
+        # os.replace()s it into place (atomic on POSIX; last attempt
+        # wins with a complete, self-consistent bitset either way)
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        attempt = ctx.taskAttemptId() if ctx is not None else os.getpid()
         dst = os.path.join(tmp, f"shard_{shard:05d}.npy")
-        np.save(dst, part.bits[0])
+        part_tmp = f"{dst}.attempt{attempt}.tmp"
+        np.save(part_tmp, part.bits[0])
+        # np.save appends .npy when the name lacks it — ours ends .tmp
+        os.replace(part_tmp + ".npy", dst)
         return pd.DataFrame({"shard": [shard]})
 
     dirty = {
