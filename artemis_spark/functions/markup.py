@@ -42,6 +42,21 @@ BASE_HREF_RE = r"""(?i)<base\b[^>]*\bhref\s*=\s*["']([^"']*)["']"""
 # //*[local-name()='loc']/text()[1])
 LOC_RE = r"(?is)<(?:\w+:)?loc\b[^>]*>\s*([^<]*?)\s*</(?:\w+:)?loc\s*>"
 
+# --- login-form grammar (reference FormHandler/SigInForm) -------------------
+# Form blocks, their action/method attributes, and their <input> tags.
+# Same two-pattern quote handling as HREF_*_RE so the DuckDB (RE2) oracle
+# executes the identical grammar.
+FORM_BLOCK_RE = r"(?is)<form\b[^>]*>.*?</form\s*>"
+ACTION_DQ_RE = r"""(?i)\baction\s*=\s*"([^"]*)\""""
+ACTION_SQ_RE = r"""(?i)\baction\s*=\s*'([^']*)'"""
+METHOD_DQ_RE = r"""(?i)\bmethod\s*=\s*"([^"]*)\""""
+METHOD_SQ_RE = r"""(?i)\bmethod\s*=\s*'([^']*)'"""
+INPUT_TAG_RE = r"(?i)<input\b[^>]*>"
+NAME_DQ_RE = r"""(?i)\bname\s*=\s*"([^"]*)\""""
+NAME_SQ_RE = r"""(?i)\bname\s*=\s*'([^']*)'"""
+TYPE_DQ_RE = r"""(?i)\btype\s*=\s*"([^"]*)\""""
+TYPE_SQ_RE = r"""(?i)\btype\s*=\s*'([^']*)'"""
+
 # (entity, char) in APPLY order for unescaping: &amp; must come last so
 # double-escaped text is not double-unescaped.
 _ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")]
@@ -86,6 +101,118 @@ def sitemap_locs(body: Column) -> Column:
     return F.transform(
         F.regexp_extract_all(body, F.lit(LOC_RE), 1), unescape_entities
     )
+
+
+# ---------------------------------------------------------------------------
+# login-form parsing (reference FormHandler.extractOne + SigInForm,
+# /root/reference/src/accreditation/FormHandler.py:9-36, Form.py:36-84)
+# ---------------------------------------------------------------------------
+
+
+def _first_attr(tag: Column, dq_re: str, sq_re: str) -> Column:
+    """First attribute value in either quote style; absent/empty -> NULL
+    (lxml attrib semantics: '' is falsy in the reference's `action or
+    base_url` fallback, so '' and absent collapse)."""
+    d = F.regexp_extract(tag, dq_re, 1)
+    s = F.regexp_extract(tag, sq_re, 1)
+    return unescape_entities(F.when(d != "", d).when(s != "", s))
+
+
+def parse_forms(body: Column) -> Column:
+    """array<struct<pos,action,method,n_inputs,is_login,user_field,
+    pass_field>> — one entry per <form> block, document order.
+
+    Reference semantics reproduced natively (no Python in the loop):
+      * form discovery = lxml form elements (FormHandler.extract forms
+        loop); classification `is_login` = "has a password-typed input"
+        (the formasaurus 'login' class stand-in — formasaurus is a
+        trained classifier, but password-input presence is its dominant
+        login feature and is deterministic, hence oracle-checkable);
+      * ``user_field``/``pass_field`` = SigInForm.pick_fields
+        (Form.py:43-57): first input with type='password' names the
+        password field; first type='text' the user field, falling back
+        to the first type='email' (`userfield or emailfield`); unnamed
+        inputs are skipped (x.name is None -> slot stays open);
+      * ``method`` = lxml FormElement.method (attribute uppercased,
+        default GET); ``action`` = raw attribute, NULL when absent/''
+        (fill_form falls back to base_url, Form.py:76-78); inputs
+        default to type='text' when the attribute is absent (HTML5 /
+        lxml InputElement.type default).
+    """
+    blocks = F.regexp_extract_all(body, F.lit(FORM_BLOCK_RE), 0)
+
+    def _form(block: Column, i: Column) -> Column:
+        open_tag = F.regexp_extract(block, r"(?is)^<form\b[^>]*>", 0)
+        inputs = F.transform(
+            F.regexp_extract_all(block, F.lit(INPUT_TAG_RE), 0),
+            lambda t: F.struct(
+                _first_attr(t, NAME_DQ_RE, NAME_SQ_RE).alias("name"),
+                F.lower(
+                    F.coalesce(
+                        _first_attr(t, TYPE_DQ_RE, TYPE_SQ_RE), F.lit("text")
+                    )
+                ).alias("type"),
+            ),
+        )
+
+        def _pick(typ: str) -> Column:
+            named = F.filter(
+                inputs,
+                lambda s: (s["type"] == typ) & s["name"].isNotNull(),
+            )
+            return F.get(named, 0)["name"]
+
+        return F.struct(
+            (i + 1).cast("int").alias("pos"),
+            _first_attr(open_tag, ACTION_DQ_RE, ACTION_SQ_RE).alias("action"),
+            F.upper(
+                F.coalesce(
+                    _first_attr(open_tag, METHOD_DQ_RE, METHOD_SQ_RE),
+                    F.lit("GET"),
+                )
+            ).alias("method"),
+            F.size(inputs).alias("n_inputs"),
+            F.exists(inputs, lambda s: s["type"] == "password").alias("is_login"),
+            F.coalesce(_pick("text"), _pick("email")).alias("user_field"),
+            _pick("password").alias("pass_field"),
+        )
+
+    return F.transform(blocks, _form)
+
+
+def first_login_form(body: Column) -> Column:
+    """The first login-classified form of a page, or NULL — the
+    FormHandler.extractOne contract (first form whose class matches the
+    requested nature, FormHandler.py:36-39)."""
+    logins = F.filter(parse_forms(body), lambda f: f["is_login"])
+    return F.get(logins, 0)
+
+
+def render_login_page(
+    host: str,
+    action: str,
+    user_field: str | None,
+    pass_field: str | None,
+    user_type: str = "text",
+    decoy: bool = True,
+) -> bytes:
+    """Deterministic login page whose parse_forms output is known: an
+    optional decoy search form (no password input — must NOT classify
+    as login) followed by the login form.  ``pass_field=None`` renders a
+    broken form (no password input) for the NoPassField failure path."""
+    parts = ["<html><head><title>", escape_markup(host), "</title></head><body>"]
+    if decoy:
+        parts.append(
+            '<form action="/search" method="get">'
+            '<input name="q" type="text"><input type="submit"></form>'
+        )
+    parts.append(f'<form action="{escape_markup(action)}" method="post">')
+    if user_field:
+        parts.append(f'<input name="{escape_markup(user_field)}" type="{user_type}">')
+    if pass_field:
+        parts.append(f'<input name="{escape_markup(pass_field)}" type="password">')
+    parts.append('<input type="submit" value="go"></form></body></html>')
+    return "".join(parts).encode("utf-8")
 
 
 EXTRACT_RESULT_TYPE = T.StructType(
