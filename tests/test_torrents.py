@@ -97,3 +97,90 @@ def test_transfer_stub_pins_signature(spark):
     wave = spark.createDataFrame([(f"magnet:?xt=urn:btih:{HEX40}",)], ["url"])
     with pytest.raises(NotImplementedError):
         torrent_fetch_stub(wave)
+
+
+# ---------------------------------------------------------------------------
+# .torrent bencode -> magnet (Task.buildFromFile, Task.py:47-59)
+# ---------------------------------------------------------------------------
+
+import hashlib  # noqa: E402
+
+from artemis_spark.sources.torrents import (  # noqa: E402
+    bencode,
+    make_magnet_from_torrent,
+    torrents_to_magnets,
+)
+
+
+def _fixture_torrent(name=b"ubuntu.iso", announce=b"http://tr.test/announce",
+                     announce_list=None, extra=None):
+    info = {b"name": name, b"piece length": 262144,
+            b"pieces": b"\x00" * 20, b"length": 12345}
+    top = {b"announce": announce, b"info": info}
+    if announce_list is not None:
+        top[b"announce-list"] = announce_list
+    if extra:
+        top.update(extra)
+    return bencode(top), bencode(info)
+
+
+def test_make_magnet_golden():
+    raw, info_bytes = _fixture_torrent()
+    h = hashlib.sha1(info_bytes).hexdigest()
+    m = make_magnet_from_torrent(raw)
+    assert m == (
+        f"magnet:?xt=urn:btih:{h}&dn=ubuntu.iso"
+        "&tr=http%3A%2F%2Ftr.test%2Fannounce"
+    )
+
+
+def test_make_magnet_info_hash_is_raw_span_not_reencode():
+    """The hash must cover the torrent's EXACT info byte span; a torrent
+    with unsorted keys elsewhere must not change it."""
+    raw, info_bytes = _fixture_torrent(extra={b"comment": b"hi", b"a": b"z"})
+    m = make_magnet_from_torrent(raw)
+    assert hashlib.sha1(info_bytes).hexdigest() in m
+
+
+def test_make_magnet_announce_list_dedup_and_order():
+    raw, info_bytes = _fixture_torrent(
+        announce=b"http://t1/a",
+        announce_list=[[b"http://t1/a", b"http://t2/a"], [b"http://t3/a"]],
+    )
+    m = make_magnet_from_torrent(raw)
+    assert m.count("tr=") == 3  # t1 deduped across announce/announce-list
+    assert m.index("t1") < m.index("t2") < m.index("t3")
+
+
+def test_make_magnet_malformed_returns_none():
+    assert make_magnet_from_torrent(b"") is None
+    assert make_magnet_from_torrent(b"not bencode") is None
+    assert make_magnet_from_torrent(bencode([1, 2, 3])) is None  # not a dict
+    assert make_magnet_from_torrent(bencode({b"no": b"info"})) is None
+    assert make_magnet_from_torrent(b"d4:infoi5e") is None  # truncated dict
+
+
+def test_torrents_to_magnets_wave(spark):
+    """buildFromFile over a fetch wave: x-bittorrent rows become magnet
+    tasks whose info-hash round-trips through parse_magnet; other
+    content types and malformed payloads are dropped."""
+    raw, info_bytes = _fixture_torrent()
+    h = hashlib.sha1(info_bytes).hexdigest()
+    rows = [
+        ("http://a.test/f.torrent", "application/x-bittorrent", bytearray(raw)),
+        ("http://a.test/page.html", "text/html", bytearray(b"<html></html>")),
+        ("http://a.test/bad.torrent", "application/x-bittorrent",
+         bytearray(b"garbage")),
+    ]
+    df = spark.createDataFrame(rows, "url string, content_type string, body binary")
+    out = torrents_to_magnets(df).collect()
+    assert len(out) == 1
+    assert out[0]["url"] == "http://a.test/f.torrent"
+    assert out[0]["info_hash"] == h
+    parsed = (
+        spark.createDataFrame([(out[0]["magnet"],)], ["uri"])
+        .select(parse_magnet(F.col("uri")).alias("m"))
+        .collect()[0]["m"]
+    )
+    assert parsed["info_hash"] == h
+    assert parsed["display_name"] == "ubuntu.iso"
