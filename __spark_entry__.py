@@ -676,6 +676,82 @@ def q_extract_links_markup(spark, sf_dir):
     )
 
 
+# Login-form fixture bodies (one doc_id splice each), shared verbatim by
+# the Spark query and the DuckDB oracle.  Five shapes: decoy+full login,
+# single-quoted email login, broken (no password -> not login), upper-case
+# attrs + entity-escaped action + email fallback, no forms at all.
+_FORM_BODIES = [
+    ('<html><body><form action="/search" method="get"><input name="q" '
+     'type="text"></form><form action="/sessions/s',
+     '" method="post"><input name="user_f" type="text"><input name="pass_f" '
+     'type="password"><input type="submit"></form></body></html>'),
+    ("<form action='/login' method='POST'><input name='mail",
+     "' type='EMAIL'><input name='pw' type='password'></form>"),
+    ('<form action="/l2"><input name="user',
+     '" type="text"><input name="note"></form>'),
+    ('<FORM Action="x&amp;y',
+     '"><Input Type="password" Name="P3"><input type="password" name="P3b">'
+     '<input type="email" name="e3"></FORM>'),
+    ("<html><body>doc ", " has no forms</body></html>"),
+]
+
+
+def q_form_parse(spark, sf_dir):
+    """Login-form field parsing (reference FormHandler.extractOne +
+    SigInForm.pick_fields, /root/reference/src/accreditation/
+    FormHandler.py:26-39, Form.py:43-57): form blocks, action/method,
+    input name/type grammar, login classification (password input
+    present) and user/password field election (first text, else first
+    email; first password) — one row per form, run over HTML
+    synthesized from the documents table so DuckDB verifies the exact
+    grammar (functions/markup.py parse_forms)."""
+    from artemis_spark.functions.markup import parse_forms
+
+    docs = _t(spark, sf_dir, "documents")
+    sel = F.pmod(F.col("doc_id").cast("long"), F.lit(len(_FORM_BODIES)))
+    body = None
+    for i, (pre, suf) in enumerate(_FORM_BODIES):
+        v = F.concat(F.lit(pre), F.col("doc_id"), F.lit(suf))
+        body = F.when(sel == i, v) if body is None else body.when(sel == i, v)
+    return (
+        docs.select("doc_id", F.explode(parse_forms(body)).alias("f"))
+        .select(
+            "doc_id",
+            F.col("f.pos").cast("long").alias("pos"),
+            F.col("f.action").alias("action"),
+            F.col("f.method").alias("method"),
+            F.col("f.n_inputs").cast("long").alias("n_inputs"),
+            F.col("f.is_login").alias("is_login"),
+            F.col("f.user_field").alias("user_field"),
+            F.col("f.pass_field").alias("pass_field"),
+        )
+    )
+
+
+def q_torrent_to_magnet(spark, sf_dir):
+    """S6 .torrent -> magnet conversion (reference Task.buildFromFile,
+    /root/reference/src/Task.py:47-59): deterministic bencoded .torrent
+    payloads are built driver-side, then converted executor-side via the
+    Arrow mapInPandas bencode parse (sources/torrents.py).  Rows-only
+    check (SHA1-over-byte-span is not DuckDB-expressible); golden
+    equality is asserted in tests/test_torrents.py."""
+    from artemis_spark.sources.torrents import bencode, torrents_to_magnets
+
+    rows = []
+    for i in range(64):
+        info = {b"name": b"f%03d.iso" % i, b"piece length": 16384,
+                b"pieces": bytes([i % 251]) * 20, b"length": 1000 + i}
+        raw = bencode({b"announce": b"http://tr%d.test/a" % (i % 5), b"info": info})
+        rows.append((f"http://t.test/{i}.torrent", "application/x-bittorrent",
+                     bytearray(raw)))
+    # a malformed payload and a non-torrent content type must be dropped
+    rows.append(("http://t.test/bad.torrent", "application/x-bittorrent",
+                 bytearray(b"garbage")))
+    rows.append(("http://t.test/x.html", "text/html", bytearray(b"<html>")))
+    df = spark.createDataFrame(rows, "url string, content_type string, body binary")
+    return torrents_to_magnets(df).orderBy("url")
+
+
 def q_extract_sitemap_locs(spark, sf_dir):
     """T3 sitemap <loc> extraction (namespace-tolerant, whitespace-
     trimmed, entity-unescaped; reference XMLExtractor XPath //loc,
@@ -919,6 +995,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_lag_lead": q_rank_lag_lead,
         "wordcount_topk": q_wordcount_topk,
         "extract_links_markup": q_extract_links_markup,
+        "form_parse": q_form_parse,
+        "torrent_to_magnet": q_torrent_to_magnet,
         "extract_sitemap_locs": q_extract_sitemap_locs,
         "auth_routing": q_auth_routing,
         "auth_session_join": q_auth_session_join,
@@ -1084,6 +1162,56 @@ def _markup_links_oracle_sql() -> str:
                generate_subscripts(links, 1)::BIGINT AS pos,
                unnest(links) AS link
         FROM l"""
+
+
+def _form_parse_oracle_sql() -> str:
+    """DuckDB twin of q_form_parse, built from the SAME regex constants
+    (functions/markup.py form grammar) so drift is impossible."""
+    from artemis_spark.functions.markup import (
+        ACTION_DQ_RE, ACTION_SQ_RE, FORM_BLOCK_RE, INPUT_TAG_RE,
+        METHOD_DQ_RE, METHOD_SQ_RE, NAME_DQ_RE, NAME_SQ_RE,
+        TYPE_DQ_RE, TYPE_SQ_RE,
+    )
+
+    def _attr(src, dq, sq):
+        return _sql_unescape(
+            f"coalesce(nullif(regexp_extract({src}, '{_sq(dq)}', 1), ''), "
+            f"nullif(regexp_extract({src}, '{_sq(sq)}', 1), ''))"
+        )
+
+    case = f"CASE (doc_id::BIGINT % {len(_FORM_BODIES)}) " + " ".join(
+        f"WHEN {i} THEN '{_sq(pre)}' || doc_id || '{_sq(suf)}'"
+        for i, (pre, suf) in enumerate(_FORM_BODIES)
+    ) + " END"
+    return f"""
+        WITH t AS (
+          SELECT doc_id, {case} AS body FROM documents),
+        b AS (
+          SELECT doc_id,
+                 generate_subscripts(blocks, 1)::BIGINT AS pos,
+                 unnest(blocks) AS block
+          FROM (SELECT doc_id,
+                       regexp_extract_all(body, '{_sq(FORM_BLOCK_RE)}', 0) AS blocks
+                FROM t)),
+        p AS (
+          SELECT doc_id, pos, block,
+                 regexp_extract(block, '(?is)^<form\\b[^>]*>', 0) AS open_tag,
+                 list_transform(
+                   regexp_extract_all(block, '{_sq(INPUT_TAG_RE)}', 0),
+                   tg -> {{'name': {_attr('tg', NAME_DQ_RE, NAME_SQ_RE)},
+                          'type': lower(coalesce({_attr('tg', TYPE_DQ_RE, TYPE_SQ_RE)}, 'text'))}}) AS ins
+          FROM b)
+        SELECT doc_id, pos,
+               {_attr('open_tag', ACTION_DQ_RE, ACTION_SQ_RE)} AS action,
+               upper(coalesce({_attr('open_tag', METHOD_DQ_RE, METHOD_SQ_RE)}, 'GET')) AS method,
+               len(ins)::BIGINT AS n_inputs,
+               len(list_filter(ins, s -> s.type = 'password')) > 0 AS is_login,
+               coalesce(
+                 list_filter(ins, s -> s.type = 'text' AND s.name IS NOT NULL)[1].name,
+                 list_filter(ins, s -> s.type = 'email' AND s.name IS NOT NULL)[1].name
+               ) AS user_field,
+               list_filter(ins, s -> s.type = 'password' AND s.name IS NOT NULL)[1].name AS pass_field
+        FROM p"""
 
 
 def _sitemap_locs_oracle_sql() -> str:
@@ -1451,6 +1579,7 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
               FROM scored) WHERE rank <= 3""",
         "extract_links_markup": _markup_links_oracle_sql(),
+        "form_parse": _form_parse_oracle_sql(),
         "extract_sitemap_locs": _sitemap_locs_oracle_sql(),
         "ann_bucketed_d8": _ann_bucketed_oracle_sql(8),
         "ftp_listing_parse": """

@@ -318,15 +318,19 @@ def gen_robots(spec: WebSpec) -> pd.DataFrame:
 
 
 def gen_auth_rules(spec: WebSpec) -> pd.DataFrame:
-    """Per-host accreditation rules (/root/reference/src/Task.py:12,41):
-    hosts k%17==7 need a login form, k%23==11 http_basic; everyone else
-    defaults to 'no' (defaultdict semantics — absent row = no auth)."""
+    """Per-host accreditation rules (/root/reference/src/Task.py:12,41;
+    AuthNature Task.py:22-27 enumerates no/form/http_basic/http_digest):
+    hosts k%17==7 need a login form, k%23==11 http_basic, k%31==17
+    http_digest; everyone else defaults to 'no' (defaultdict semantics —
+    absent row = no auth)."""
     rows = []
     for k in range(spec.n_hosts):
         if k % 17 == 7:
             rows.append({"host": host_name(k), "auth": "form"})
         elif k % 23 == 11:
             rows.append({"host": host_name(k), "auth": "http_basic"})
+        elif k % 31 == 17:
+            rows.append({"host": host_name(k), "auth": "http_digest"})
     return pd.DataFrame(rows, columns=["host", "auth"])
 
 
@@ -347,6 +351,10 @@ def gen_credentials(spec: WebSpec) -> pd.DataFrame:
             auth = "form"
         elif k % 23 == 11 and k % 2 == 0:
             auth = "http_basic"
+        elif k % 31 == 17 and k % 2 == 0:
+            # challenge-response variant of basic: no form to parse, same
+            # credentialed session flow (AuthNature.http_digest)
+            auth = "http_digest"
         if auth:
             rows.append(
                 {
@@ -360,6 +368,39 @@ def gen_credentials(spec: WebSpec) -> pd.DataFrame:
     return pd.DataFrame(
         rows, columns=["host", "auth", "login", "password", "lifetime_s"]
     )
+
+
+def gen_login_pages(spec: WebSpec) -> pd.DataFrame:
+    """Per-host login pages for 'form' hosts (reference FormHandler
+    fetches the form URL and parses the real markup,
+    /root/reference/src/accreditation/FormHandler.py:26-39).  Every page
+    carries a decoy search form (classification must skip it); field
+    names/types vary per host; every 4th form host (k//17 % 4 == 1)
+    renders a BROKEN form with no password input — the NoPassField path:
+    credentials exist but no login can be filled, so the host defers
+    forever."""
+    from .functions.markup import render_login_page
+
+    rows = []
+    for k in range(spec.n_hosts):
+        if k % 17 != 7:
+            continue
+        host = host_name(k)
+        broken = (k // 17) % 4 == 1
+        rows.append(
+            {
+                "host": host,
+                "url": f"http://{host}/login",
+                "body": render_login_page(
+                    host,
+                    action=f"/sessions/s{k}",
+                    user_field=f"user_f{k}",
+                    pass_field=None if broken else f"pass_f{k}",
+                    user_type="email" if (k // 17) % 3 == 2 else "text",
+                ),
+            }
+        )
+    return pd.DataFrame(rows, columns=["host", "url", "body"])
 
 
 def gen_domain_rules(spec: WebSpec) -> pd.DataFrame:
@@ -398,6 +439,7 @@ def generate(tier: str, out_dir: str, epoch: int = 0) -> dict[str, str]:
         "domain_rules": gen_domain_rules(spec),
         "auth_rules": gen_auth_rules(spec),
         "credentials": gen_credentials(spec),
+        "login_pages": gen_login_pages(spec),
         "seeds": gen_seeds(spec),
     }
     for name, df in tables.items():

@@ -34,6 +34,51 @@ AUTH_DEFERRED_STATUS = 998
 
 
 # ---------------------------------------------------------------------------
+# login-form grammar (mirror functions/markup.py parse_forms exactly;
+# reference SigInForm.pick_fields, Form.py:43-57)
+# ---------------------------------------------------------------------------
+
+_FORM_BLOCK = re.compile(r"<form\b[^>]*>.*?</form\s*>", re.I | re.S)
+_INPUT_TAG = re.compile(r"<input\b[^>]*>", re.I)
+_ENT = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")]
+
+
+def _unescape(s: str) -> str:
+    for ent, ch in _ENT:
+        s = s.replace(ent, ch)
+    return s
+
+
+def _attr(tag: str, name: str) -> str | None:
+    m = re.search(rf"\b{name}\s*=\s*\"([^\"]*)\"", tag, re.I)
+    if not m or not m.group(1):
+        m = re.search(rf"\b{name}\s*=\s*'([^']*)'", tag, re.I)
+    return _unescape(m.group(1)) if m and m.group(1) else None
+
+
+def _parse_login_form(body: str) -> tuple[str, str, str | None] | None:
+    """First login-classified form of the page as (user_field,
+    pass_field, action), or None when no fillable login form exists
+    (no form / no password input / NoUserField / NoPassField)."""
+    for block in _FORM_BLOCK.findall(body):
+        inputs = [
+            (_attr(t, "name"), (_attr(t, "type") or "text").lower())
+            for t in _INPUT_TAG.findall(block)
+        ]
+        if not any(typ == "password" for _n, typ in inputs):
+            continue  # not login-classified
+        user = next((n for n, t in inputs if t == "text" and n), None) or next(
+            (n for n, t in inputs if t == "email" and n), None
+        )
+        passwd = next((n for n, t in inputs if t == "password" and n), None)
+        if user is None or passwd is None:
+            return None  # NoUserField / NoPassField -> login aborts
+        open_tag = re.match(r"<form\b[^>]*>", block, re.I | re.S).group(0)
+        return (user, passwd, _attr(open_tag, "action"))
+    return None
+
+
+# ---------------------------------------------------------------------------
 # URL functions (mirror functions/urls.py exactly)
 # ---------------------------------------------------------------------------
 
@@ -213,6 +258,20 @@ class ReferenceModel:
             self.credentials = {r["host"]: int(r["lifetime_s"]) for r in cr}
         except FileNotFoundError:
             pass
+        # login pages for 'form' hosts: parsed with the Python mirror of
+        # the engine's form grammar (FormHandler.extractOne +
+        # SigInForm.pick_fields).  None = legacy web with no login_pages
+        # table: form logins succeed unconditionally (pre-r04 behavior).
+        self.login_forms: dict[str, tuple[str, str]] | None = None
+        try:
+            lp = pq.read_table(f"{web_dir}/login_pages.parquet").to_pylist()
+            self.login_forms = {}
+            for row in lp:
+                f = _parse_login_form(bytes(row["body"]).decode("utf-8"))
+                if f is not None:
+                    self.login_forms[row["host"]] = f
+        except FileNotFoundError:
+            pass
         # host -> round the login was performed (AccreditationCache.py:18-30)
         self.sessions: dict[str, int] = {}
         self.seed_rows = pq.read_table(f"{web_dir}/seeds.parquet").to_pylist()
@@ -252,6 +311,18 @@ class ReferenceModel:
 
     def _score(self, depth: int, host: str) -> float:
         return -1000.0 * depth + min(float(self.host_inlinks.get(host, 0)), 999.0)
+
+    def _can_login(self, host: str) -> bool:
+        """Credentials exist AND the login is fillable: 'form' hosts need
+        a parsed login form with both fields (SigInForm.fill_form raises
+        NoUserField/NoPassField otherwise); http_basic hosts need no
+        form.  Legacy webs without a login_pages table keep the pre-r04
+        always-succeeds behavior."""
+        if host not in self.credentials:
+            return False
+        if self.auth_rules.get(host, "no") != "form" or self.login_forms is None:
+            return True
+        return host in self.login_forms
 
     def run_round(self, r: int) -> list[str]:
         cfg = self.cfg
@@ -312,10 +383,12 @@ class ReferenceModel:
             else:
                 auth_deferred.append(c)
         allowed = auth_ok
-        # simulated login (FormHandler fill+submit): each deferred host
-        # with an account gets a fresh session stamped this round
+        # login (FormHandler extractOne + fill + submit): each deferred
+        # host with an account AND a fillable login form (parsed from
+        # the host's login page — 'form' hosts only; http_basic needs no
+        # form) gets a fresh session stamped this round
         for h in sorted({host_of(c["url"]) for c in auth_deferred}):
-            if h in self.credentials:
+            if self._can_login(h):
                 self.sessions[h] = r
         # score + politeness top-k
         by_host: dict[str, list[dict]] = {}
@@ -337,13 +410,14 @@ class ReferenceModel:
         for c, status in [(c, ROBOTS_BLOCKED_STATUS) for c in blocked] + [
             (c, AUTH_DEFERRED_STATUS) for c in auth_deferred
         ]:
-            # deferred-with-credentials: refresh_rate=0 makes the recrawl
+            # deferred-but-loginable: refresh_rate=0 makes the recrawl
             # scan re-emit the URL next round, when the session is live;
-            # robots blocks and credential-less hosts back off to MAX
+            # robots blocks, credential-less hosts and hosts whose login
+            # form cannot be filled back off to MAX
             rate = (
                 0
                 if status == AUTH_DEFERRED_STATUS
-                and host_of(c["url"]) in self.credentials
+                and self._can_login(host_of(c["url"]))
                 else MAX_REFRESH_RATE
             )
             self.seen[c["url"]] = SeenEntry(

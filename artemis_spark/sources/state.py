@@ -35,9 +35,14 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# Per-table primary key for delta-chain reconstruction (last-writer-wins
-# on this key).  Only tables registered here may use write_version_delta.
-DELTA_KEYS = {"url_seen": "url"}
+# Per-table primary key for delta-chain reconstruction.  Only tables
+# registered here may use write_version_delta.
+DELTA_KEYS = {"url_seen": "url", "host_stats": "host"}
+# How chain members combine per key: "last" = last-writer-wins (full
+# row replacement, url_seen MERGE semantics); "sum" = additive counters
+# (host_stats inlink deltas — each round appends only the hosts that
+# gained inlinks, reconstruction sums the chain).
+DELTA_MERGE = {"url_seen": "last", "host_stats": "sum"}
 
 
 class StateStore:
@@ -144,6 +149,20 @@ class StateStore:
         u = dfs[0]
         for d in dfs[1:]:
             u = u.unionByName(d)
+        if DELTA_MERGE.get(table, "last") == "sum":
+            # additive counters: one hash aggregate sums the chain.  The
+            # stored ``bucket`` partition column joins the GROUP BY (it is
+            # functionally dependent on the key's host), so a bucket
+            # predicate above this read pushes through the aggregate and
+            # the union into every chain member's scan as a
+            # PartitionFilter — wave-sliced readers stay O(|wave buckets|)
+            # however long the chain is.
+            val_cols = [c for c in u.columns if c not in (key, "bucket", "_seq")]
+            return (
+                u.groupBy(key, "bucket")
+                .agg(*[F.sum(c).alias(c) for c in val_cols])
+                .select(key, *val_cols, "bucket")
+            )
         # Group on the key ALONE (bucket, functionally dependent on the
         # key's host, is folded in via max()): the reconstruction then
         # leaves the state hash-partitioned on exactly the key its

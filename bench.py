@@ -66,7 +66,7 @@ def bench_crawl(spark, tier: str, rounds: int, budget: int) -> dict:
     from artemis_spark.plans.crawl import CrawlConfig, CrawlEngine
 
     web_dir = os.path.join(tempfile.gettempdir(), f"artemis_bench_web_{tier}")
-    marker = os.path.join(web_dir, "_DONE_v4")  # v4: dot-segment relative links
+    marker = os.path.join(web_dir, "_DONE_v5")  # v5: login_pages table (r4 forms)
     if not os.path.exists(marker):  # datagen is one-time, not benchmarked
         generate(tier, web_dir)
         open(marker, "w").close()

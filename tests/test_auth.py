@@ -32,6 +32,7 @@ def test_auth_rules_deterministic():
     m = dict(zip(rules["host"], rules["auth"]))
     assert m["host0007.test"] == "form"  # 7 % 17 == 7
     assert m["host0011.test"] == "http_basic"  # 11 % 23 == 11
+    assert m["host0048.test"] == "http_digest"  # 48 % 31 == 17
     assert "host0000.test" not in m  # defaultdict -> 'no'
 
 
@@ -40,7 +41,9 @@ def test_credentials_deterministic():
     hosts = set(creds["host"])
     assert "host0007.test" in hosts  # form hosts always have an account
     assert "host0034.test" in hosts  # http_basic, even k
+    assert "host0048.test" in hosts  # http_digest, even k
     assert "host0011.test" not in hosts  # http_basic, odd k: credential-less
+    assert "host0017.test" not in hosts  # http_digest, odd k: credential-less
     assert (creds["lifetime_s"] == 7200).all()
 
 
@@ -96,6 +99,86 @@ def test_auth_session_lifecycle(spark, tmp_path, tiny_web):
         .collect()
     )
     assert normal and all(r["auth"] == "no" for r in normal)
+
+
+def test_session_established_via_parsed_form(spark, tmp_path, tiny_web):
+    """The login consumes the PARSED login form (FormHandler.extractOne
+    -> pick_fields -> fill_form): the recorded session id commits to the
+    form's action and elected field names, recomputable from the
+    datagen-rendered page (action=/sessions/s7, fields user_f7/pass_f7
+    for host0007)."""
+    import hashlib
+
+    eng = CrawlEngine(
+        spark, tiny_web, str(tmp_path / "state"),
+        CrawlConfig(politeness_budget=25, num_partitions=4, bloom_shards=8,
+                    revisit_delay_rounds=1),
+    )
+    eng.run(3)
+    sess = (
+        eng.store.read("auth_sessions")
+        .filter(F.col("host") == "host0007.test")
+        .collect()
+    )
+    assert sess, "no session established"
+    log = eng.store.read_appended("crawl_log")
+    d = min(
+        r["round"]
+        for r in log.filter(
+            (F.col("host") == "host0007.test")
+            & (F.col("status") == AUTH_DEFERRED_STATUS)
+        ).collect()
+    )
+    expected = hashlib.sha224(
+        f"host0007.test|user0007|/sessions/s7|user_f7|pass_f7|{d}".encode()
+    ).hexdigest()
+    assert sess[0]["session_id"] == expected, (
+        "session id does not commit to the parsed form evidence"
+    )
+
+
+def test_broken_login_form_defers_forever(spark, tmp_path, tiny_web):
+    """A 'form' host whose login page has no password input (NoPassField,
+    Form.py:70-73) can never log in even WITH credentials: deferred on
+    every contact, refresh_rate backed off to MAX, no session row."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from artemis_spark.functions.markup import render_login_page
+
+    web = str(tmp_path / "web_brokenform")
+    shutil.copytree(tiny_web, web)
+    pq.write_table(
+        pa.table(
+            {
+                "host": ["host0007.test"],
+                "url": ["http://host0007.test/login"],
+                "body": [
+                    render_login_page("host0007.test", "/sessions/s7",
+                                      "user_f7", None)
+                ],
+            }
+        ),
+        os.path.join(web, "login_pages.parquet"),
+    )
+    eng = CrawlEngine(
+        spark, web, str(tmp_path / "state"),
+        CrawlConfig(politeness_budget=25, num_partitions=4, bloom_shards=8),
+    )
+    eng.run(4)
+    log = eng.store.read_appended("crawl_log")
+    h7 = log.filter(F.col("host") == "host0007.test").collect()
+    assert h7, "crawl never reached the auth-gated host"
+    assert all(r["status"] == AUTH_DEFERRED_STATUS for r in h7)
+    seen = eng.store.read("url_seen")
+    h7_seen = seen.filter(seen["host"] == "host0007.test").collect()
+    assert h7_seen and all(r["refresh_rate"] == 20 for r in h7_seen)
+    assert (
+        eng.store.read("auth_sessions")
+        .filter(F.col("host") == "host0007.test")
+        .count()
+        == 0
+    )
 
 
 def test_auth_without_credentials_defers_forever(spark, tmp_path, tiny_web):

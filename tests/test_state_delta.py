@@ -75,10 +75,20 @@ def test_delta_layout_equals_rewrite_layout(spark, tmp_path, tiny_web):
             for r in eng.store.read_appended("crawl_log").collect()
         }
 
+    def stats(eng):
+        return {
+            (r["host"], r["inlinks"])
+            for r in eng.store.read("host_stats").collect()
+        }
+
     assert seen(a) == seen(b)
     assert log(a) == log(b)
+    # host_stats uses the additive ("sum") delta merge — reconstruction
+    # must equal the rewrite layout's cumulative counters exactly
+    assert stats(a) == stats(b)
     # and the delta run really used a chain (>1 live version at some point)
     assert len(a.store.delta_chain("url_seen")) > 1
+    assert len(a.store.delta_chain("host_stats")) > 1
 
 
 def test_delta_write_cost_tracks_wave_not_state(spark, tmp_path, tiny_web):
@@ -128,31 +138,48 @@ def test_delta_chain_compaction(spark, tmp_path, tiny_web):
         eng.run_round()
         chain = eng.store.delta_chain("url_seen")
         assert 1 <= len(chain) <= 3, f"chain {chain} exceeds the cap"
+        hs_chain = eng.store.delta_chain("host_stats")
+        assert 1 <= len(hs_chain) <= 3, f"host_stats chain {hs_chain}"
     df = eng.store.read("url_seen")
     assert df.count() == df.select("url").distinct().count()
+    hs = eng.store.read("host_stats")
+    assert hs.count() == hs.select("host").distinct().count()
 
 
 def test_robots_and_host_stats_link_clean_buckets(spark, tmp_path, tiny_web):
-    """robots_cache and host_stats must carry untouched host-buckets
-    across rounds as hard links (analogue of the url_seen bucket test)."""
+    """robots_cache carries untouched host-buckets across rounds as hard
+    links; host_stats (delta layout since r04) appends only this round's
+    inlink increments — per-round written rows track the wave, never the
+    host history."""
     state = str(tmp_path / "state")
     # small budget: waves touch few hosts per round, so some host-buckets
-    # of robots_cache/host_stats see no change and must come over as links
+    # of robots_cache see no change and must come over as links
     eng = CrawlEngine(spark, tiny_web, state, _cfg(politeness_budget=2))
     eng.run(4)
-    for table in ("robots_cache", "host_stats"):
-        root = os.path.join(state, table)
-        versions = sorted(
-            int(d[1:]) for d in os.listdir(root) if d.startswith("v")
-        )
-        assert len(versions) >= 2, f"{table}: {versions}"
-        prev = _bucket_inodes(os.path.join(root, f"v{versions[-2]}"))
-        last = _bucket_inodes(os.path.join(root, f"v{versions[-1]}"))
-        linked = [k for k in last if k in prev and last[k] == prev[k]]
-        assert linked, (
-            f"{table}: no hard-linked clean buckets between "
-            f"v{versions[-2]} and v{versions[-1]}"
-        )
+    root = os.path.join(state, "robots_cache")
+    versions = sorted(int(d[1:]) for d in os.listdir(root) if d.startswith("v"))
+    assert len(versions) >= 2, f"robots_cache: {versions}"
+    prev = _bucket_inodes(os.path.join(root, f"v{versions[-2]}"))
+    last = _bucket_inodes(os.path.join(root, f"v{versions[-1]}"))
+    linked = [k for k in last if k in prev and last[k] == prev[k]]
+    assert linked, (
+        f"robots_cache: no hard-linked clean buckets between "
+        f"v{versions[-2]} and v{versions[-1]}"
+    )
+    # host_stats: a real delta chain, and every delta version physically
+    # smaller than the full reconstructed host set would be O(|hosts|)
+    hs_chain = eng.store.delta_chain("host_stats")
+    assert len(hs_chain) >= 2, f"host_stats never went delta: {hs_chain}"
+    n_hosts = eng.store.read("host_stats").count()
+    for v in hs_chain[1:]:
+        dv = _version_rows(state, "host_stats", v)
+        assert dv <= n_hosts
+    assert sum(
+        _version_rows(state, "host_stats", v) for v in hs_chain[1:]
+    ) < len(hs_chain[1:]) * n_hosts, (
+        "every host_stats delta rewrote the full host set — appends are "
+        "not tracking the wave"
+    )
     # consistency: stored bucket col matches the pinned modulus, hosts unique
     nb = int(eng.store.manifest()["state_buckets"])
     for table in ("robots_cache", "host_stats"):

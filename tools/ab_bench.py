@@ -68,7 +68,8 @@ def prewarm(name: str) -> None:
     code = (
         "import tempfile, os; from artemis_spark.datagen import generate;"
         "d = os.path.join(tempfile.gettempdir(), 'artemis_bench_web_bench');"
-        "m = [os.path.join(d, x) for x in ('_DONE', '_DONE_v2', '_DONE_v3')];"
+        "m = [os.path.join(d, x) for x in"
+        " ('_DONE', '_DONE_v2', '_DONE_v3', '_DONE_v4', '_DONE_v5')];"
         "done = any(os.path.exists(x) for x in m);"
         "(None if done else (generate('bench', d),"
         " [open(x, 'w').close() for x in m]))"

@@ -140,6 +140,35 @@ def main() -> None:
     ))
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
 
+    # 7. robots_cache wave-sliced read (r03 verdict #2/#3)
+    rc = eng.store.read("robots_cache")
+    sections.append((
+        "robots_cache wave-sliced read — MUST show PartitionFilters on "
+        "the STORED bucket column: each round consults rules only for "
+        "its wave's hosts (cache_slice reads the wave's buckets, then "
+        "semi-joins the wave host set), and the robots SOURCE is joined "
+        "with a broadcast semi-join on the tiny needy-host set — the "
+        "full source is NEVER broadcast (at 10^8 hosts that broadcast "
+        "cannot build).  Dirty-bucket writes re-read current rows under "
+        "the same PartitionFilters, so per-round robots IO tracks the "
+        "wave, not the host history.",
+        plan_of(rc.filter(F.col("bucket").isin(3, 7))),
+    ))
+
+    # 8. host_stats delta-chain read under a wave bucket predicate
+    hs = eng.store.read("host_stats")
+    sections.append((
+        "host_stats delta-chain reconstruction under a wave bucket "
+        "predicate — the additive (sum) merge groups by (host, bucket), "
+        "so the bucket predicate pushes through the aggregate AND the "
+        "chain union into EVERY chain member's scan as PartitionFilters. "
+        "A normal round APPENDS only that round's inlink deltas "
+        "(O(|wave|) rows, write_version_delta); only a compaction round "
+        "rewrites the cumulative base — per-round host_stats read AND "
+        "write cost track the wave.",
+        plan_of(hs.filter(F.col("bucket").isin(3, 7))),
+    ))
+
     # 6. headline oracle queries: pushdown + broadcast evidence
     for name, why in [
         ("dedup_anti_join", "BroadcastHashJoin LeftAnti; the seen-side filter "
