@@ -75,6 +75,20 @@ def get_spark(
         # real cluster's shuffle bandwidth scales with executor count)
         .config("spark.local.dir", os.environ.get("ARTEMIS_LOCAL_DIR", "/tmp"))
         .config("spark.ui.enabled", "false")
+        # spark.ui.enabled=false does NOT stop the status listeners: the
+        # driver still retains up to 1000 SQL executions — each holding a
+        # full AQE plan graph snapshot (ours are huge: delta-chain
+        # reconstruction unions re-planned per stage) — plus 1000
+        # jobs/stages of task metadata.  A long-lived driver (a
+        # multi-hundred-round crawl, or a test suite sharing one JVM)
+        # accumulates gigabytes of dead plan strings and OOMs the heap.
+        # Keep only a short diagnostic window; on a real cluster these are
+        # served from the history server, not driver heap.
+        .config("spark.sql.ui.retainedExecutions", "8")
+        .config("spark.ui.retainedJobs", "50")
+        .config("spark.ui.retainedStages", "50")
+        .config("spark.ui.retainedTasks", "500")
+        .config("spark.sql.pyspark.jvmStacktrace.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # split scans finer than the 128MB default: sandbox inputs are
         # tens of MB and a single split serializes the whole first stage
