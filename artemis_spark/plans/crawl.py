@@ -118,6 +118,20 @@ class CrawlConfig:
     fetch_salt: int = 0
     cache_web: bool = True  # cache link_graph/payloads partitioned on join keys
     light_stats: bool = False  # skip info-only frontier-size count (bench mode)
+    # Truncate the lineage of each round's hot intermediates with
+    # localCheckpoint(eager=False) instead of cache().  A round's tree
+    # (chain reconstruction ∪ recrawl scan → dedupe → robots/auth →
+    # politeness → fetch join → markup extraction → MERGE) feeds ~30
+    # driver actions (writes, collects, counts); with cache() every one
+    # of them re-analyzes and re-optimizes the FULL tree and AQE replans
+    # it stage by stage — profiling showed the executors 98% idle
+    # (wall 429s vs 291s total task time on 32 cores) with the wall
+    # almost entirely single-threaded driver planning.  Pinning collapses
+    # each materialized intermediate to a leaf scan so downstream plans
+    # stay O(1)-sized however deep the round pipeline gets.  Losing RDD
+    # lineage is safe by design: the committed state store is the
+    # recovery mechanism (rounds are resumable), not Spark recompute.
+    plan_pin: bool = True
 
 
 class CrawlEngine:
@@ -339,6 +353,12 @@ class CrawlEngine:
         n_buckets = int(stored_b) if stored_b else cfg.state_buckets
         bucket_of = lambda c: F.pmod(F.xxhash64(c), F.lit(n_buckets)).cast("int")
 
+        def _pin(df: DataFrame) -> DataFrame:
+            """Materialize-once node: localCheckpoint truncates the plan
+            (downstream actions see a leaf scan, not the round's whole
+            tree — see cfg.plan_pin), cache() keeps full lineage."""
+            return df.localCheckpoint(eager=False) if cfg.plan_pin else df.cache()
+
         import os as _os
         _timing = bool(int(_os.environ.get("ARTEMIS_ROUND_TIMING", "0")))
         _phases: dict[str, float] = {}
@@ -362,8 +382,8 @@ class CrawlEngine:
         if len(self.store.delta_chain("url_seen")) > 1:
             # delta-layout read is a reconstruction aggregate consumed by
             # several jobs this round (recrawl scan, validate join, merge/
-            # compaction) — cache it once instead of recomputing
-            url_seen_pre = url_seen_pre.cache()
+            # compaction) — materialize it once instead of recomputing
+            url_seen_pre = _pin(url_seen_pre)
         recrawl_due = self._stale(url_seen_pre, r, cfg.revisit_delay_rounds).select(
             "url", "host", "depth", "nature", F.lit(r).alias("round_added")
         )
@@ -391,9 +411,9 @@ class CrawlEngine:
         # one hash exchange by host up front; every downstream join/window/
         # groupBy on the wave path keys by (host, ...) so Catalyst reuses
         # this partitioning and plans the rest of the round exchange-free.
-        candidates = dedupe_within_batch(
+        candidates = _pin(dedupe_within_batch(
             pre_shuffle.repartition(cfg.num_partitions, "host")
-        ).cache()
+        ))
         if cfg.light_stats:
             # emptiness only, two-step: the frontier-only probe is one
             # parquet split's worth of work, and under AQE it is the only
@@ -459,14 +479,14 @@ class CrawlEngine:
         #                apply_robots/sitemap discovery need.
         robots_cache_raw = self.store.read("robots_cache", S.ROBOTS_SCHEMA)
         rc_has_bucket = "bucket" in robots_cache_raw.columns
-        cand_hosts = candidates.select("host").distinct().cache()
+        cand_hosts = _pin(candidates.select("host").distinct())
         wave_buckets = sorted(
             int(x["b"])
             for x in cand_hosts.select(bucket_of(F.col("host")).alias("b"))
             .distinct()
             .collect()
         )
-        cache_slice = (
+        cache_slice = _pin(
             (
                 robots_cache_raw.filter(F.col("bucket").isin(wave_buckets))
                 if rc_has_bucket
@@ -474,7 +494,6 @@ class CrawlEngine:
             )
             .drop("bucket")
             .join(F.broadcast(cand_hosts), "host", "left_semi")
-            .cache()
         )
         live_slice = cache_slice.filter(
             F.unix_timestamp(F.lit(now))
@@ -496,8 +515,8 @@ class CrawlEngine:
                 F.lit(now).alias("fetched_at"),
                 F.coalesce(F.col("ttl_s").cast("int"), F.lit(3600)).alias("ttl_s"),
             )
-            .cache()
         )
+        src_rules = _pin(src_rules)
         no_rules = need.join(
             F.broadcast(src_rules.select("host").distinct()), "host", "left_anti"
         ).select(
@@ -508,8 +527,8 @@ class CrawlEngine:
             F.lit(now).alias("fetched_at"),
             F.lit(3600).alias("ttl_s"),
         )
-        refreshed = src_rules.unionByName(no_rules).cache()
-        wave_rules = live_slice.unionByName(refreshed).cache()
+        refreshed = _pin(src_rules.unionByName(no_rules))
+        wave_rules = _pin(live_slice.unionByName(refreshed))
         # Auth annotation (accreditationRules, reference Task.py:12,41;
         # AuthNature Task.py:22-27): one broadcast join on the schedulable
         # set gives every downstream branch (allowed, robots-blocked,
@@ -548,9 +567,9 @@ class CrawlEngine:
         fetchable = live_flagged.filter(
             (F.col("auth") == "no") | F.col("_live")
         ).drop("_live")
-        auth_deferred = live_flagged.filter(
+        auth_deferred = _pin(live_flagged.filter(
             (F.col("auth") != "no") & F.col("_live").isNull()
-        ).drop("_live").cache()
+        ).drop("_live"))
 
         # Login round: every deferred host whose login is PERFORMABLE
         # (credentials + parsed fillable form for 'form' hosts — see
@@ -604,9 +623,9 @@ class CrawlEngine:
         )
         scored = with_score(fetchable, hs_slice)
         scheduled, deferred = politeness_topk(scored, cfg.politeness_budget)
-        scheduled = scheduled.cache()
-        deferred = deferred.cache()
-        robots_blocked = robots_blocked.cache()
+        scheduled = _pin(scheduled)
+        deferred = _pin(deferred)
+        robots_blocked = _pin(robots_blocked)
 
         # S2/S3 fetch wave: co-partitioned join against the cached web.
         # (cfg.fetch_salt shapes a real-HTTP wave; the synthetic join path
@@ -664,7 +683,7 @@ class CrawlEngine:
                     extract_outlinks(F.col("body"), F.col("nature")),
                 ),
             ).drop("outlinks")
-        fetched = fetched.drop("bytes", "body").cache()
+        fetched = _pin(fetched.drop("bytes", "body"))
 
         # ----- crawl log (S8/S9 sink)
         # payload validation (input_hint): decoded dims + phash must match
@@ -743,13 +762,12 @@ class CrawlEngine:
                 (F.col("depth") + 1).alias("depth"),
                 F.explode_outer("outlinks").alias("raw"),
             )
-        extracted_with_depth = (
+        extracted_with_depth = _pin(
             ex_exploded
             .select("depth", resolve_url(F.col("parent"), F.col("raw")).alias("_abs"))
             .select("depth", canonicalize(F.col("_abs")).alias("url"))
             .filter(F.col("url").isNotNull())
             .withColumn("host", host_of(F.col("url")))
-            .cache()
         )
 
         # sitemap discovery reads the robots CACHE (sitemaps are found when
@@ -842,7 +860,8 @@ class CrawlEngine:
                 "nature",
                 F.col("round_added"),
             )
-        ).cache()  # consumed by merge_upsert, recrawl merged_state and bloom
+        )
+        seen_updates = _pin(seen_updates)  # consumed by merge_upsert, recrawl merged_state and bloom
 
         # host PageRank proxy: inbound links observed this round.  In the
         # delta-log layout (A3 at scale) these per-host increments are the
@@ -923,12 +942,12 @@ class CrawlEngine:
             # state side reuse the reconstruction's hash(url)
             # partitioning on compaction rounds (see dedup.py).
             upd_keys = seen_updates.select(F.col("url").alias("u_url"))
-            merged_dirty = (
+            merged_dirty = _pin(
                 cur_seen.filter(is_dirty)
                 .join(upd_keys, F.col("url") == F.col("u_url"), "left_anti")
                 .select(*seen_cols, "bucket")
                 .unionByName(upd.select(*seen_cols, "bucket"))
-            ).cache()
+            )
 
         # Dedupe before writing: extraction emits the same URL from many
         # parents (3-4x write amplification otherwise).  The dedupe keys
@@ -940,10 +959,9 @@ class CrawlEngine:
         # second time for a layout nothing consumes.  Recrawl rows are
         # NOT written here — they are derived from url_seen at the next
         # round's read (merge-on-read recrawl, see top of round).
-        next_frontier = (
+        next_frontier = _pin(
             dedupe_within_batch(next_frontier.select(*CANDIDATE_COLS))
             .select(*CANDIDATE_COLS)
-            .cache()
         )
 
         # ----- lineage / metrics (A3/A4/A6) per host-shard.
@@ -987,7 +1005,8 @@ class CrawlEngine:
                 F.lit(wall_ms).alias("wall_ms"),
                 F.lit(snapshot).alias("input_snapshot"),
             )
-        ).cache()
+        )
+        lineage = _pin(lineage)
 
         # ----- persist + atomic commit.
         # The six persists are data-independent (they share only cached

@@ -99,6 +99,14 @@ def get_spark(
             os.environ.get("ARTEMIS_MAX_PARTITION_BYTES", str(4 * 1024 * 1024)),
         )
     )
+    # ad-hoc conf overrides for experiments/ops without code changes,
+    # e.g. ARTEMIS_EXTRA_CONF='{"spark.sql.codegen.wholeStage":"false"}'
+    env_conf = os.environ.get("ARTEMIS_EXTRA_CONF")
+    if env_conf:
+        import json as _json
+
+        for k, v in _json.loads(env_conf).items():
+            builder = builder.config(k, str(v))
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
