@@ -24,6 +24,7 @@ from __future__ import annotations
 import json
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -914,20 +915,28 @@ class CrawlEngine:
         will_delta = delta_on and not full_rewrite and len(cur_chain) >= 1
 
         upd = seen_updates.withColumn("bucket", bucket_of(F.col("host")))
-        # This collect doubles as the one up-front materialization of the
-        # shared seen_updates cache (it replaces the pre-fan-out count()):
-        # every persist job below reuses the cached rows.
-        dirty_buckets = sorted(
-            int(x["bucket"]) for x in upd.select("bucket").distinct().collect()
-        )
-        _mark("seen_updates_materialize")
-        # Second (cheap) upfront job: the exploded resolve+canonicalize
-        # extraction cache.  Its parents are all cached by the job above,
-        # so this touches only the ex arrays; materializing it here means
-        # the fan-out's _frontier and _stats jobs neither wait on it nor
-        # race to recompute the round's regex-heaviest projection.
-        extracted_with_depth.count()
-        _mark("extract_materialize")
+        # Materialize the round's heavy shared parent ONCE (the fetch
+        # join + status/extraction projection), then overlap its two
+        # independent consumers in threads: the dirty-bucket collect
+        # (which also materializes the seen_updates pin every persist job
+        # reuses) and the exploded resolve+canonicalize extraction pin
+        # (the round's regex-heaviest projection, needed by the fan-out's
+        # _frontier and _stats jobs).  Sequencing fetched first matters:
+        # two concurrent jobs racing to compute a not-yet-materialized
+        # pin would each schedule the full fetch join.
+        fetched.count()
+        _mark("fetched_materialize")
+        with ThreadPoolExecutor(max_workers=2) as _tp:
+            _f_dirty = _tp.submit(
+                lambda: sorted(
+                    int(x["bucket"])
+                    for x in upd.select("bucket").distinct().collect()
+                )
+            )
+            _f_ex = _tp.submit(extracted_with_depth.count)
+            dirty_buckets = _f_dirty.result()
+            _f_ex.result()
+        _mark("seen_updates_and_extract_materialize")
         if will_delta:
             merged_dirty = None  # nothing to merge at write time
         else:
@@ -1013,8 +1022,6 @@ class CrawlEngine:
         # parents), so they run as concurrent Spark jobs from driver
         # threads — the per-job driver overhead overlaps instead of
         # serializing.  Nothing is visible until the manifest commit.
-        from concurrent.futures import ThreadPoolExecutor
-
         def _timed(fn):
             if not _timing:
                 return fn

@@ -59,6 +59,16 @@ def get_spark(
         # whole-stage codegen instead of silently falling back to
         # interpreted eval when a generated method passes 8KB
         .config("spark.sql.codegen.hugeMethodLimit", "65535")
+        # A crawl round runs ~46 jobs that generate ~340 codegen classes;
+        # the default 100-entry Janino LRU therefore thrashes and every
+        # task of every later stage recompiles its generated code
+        # (compile happens at cache-miss inside the task, not only on the
+        # driver).  Size the cache to hold several full rounds so
+        # steady-state rounds recompile only the ~90 classes whose source
+        # embeds round-varying primitive literals.  Same-window A/B
+        # (tools/knob_matrix.py): median-round 13.2k -> 22.0k URLs/s.
+        # Static conf: must be set before the first session is built.
+        .config("spark.sql.codegen.cache.maxEntries", "4096")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
