@@ -203,7 +203,12 @@ def main() -> None:
         ),
         "```",
     ]
-    with open(os.path.join(HERE, "BENCH.md"), "w") as f:
+    # BENCH.md is curated by hand (sweep tables + A/B narratives from
+    # several experiments); overwriting it wholesale destroyed committed
+    # evidence once (r03 verdict "what's wrong" #1).  Write the rendered
+    # sweep to its own file and fold it into BENCH.md deliberately.
+    out = os.environ.get("ARTEMIS_SWEEP_OUT", os.path.join(HERE, "BENCH_SWEEP.md"))
+    with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(json.dumps({"efficiency": eff, "hw": hw_eff}))
 
