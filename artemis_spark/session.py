@@ -108,6 +108,19 @@ def get_spark(
             "spark.sql.files.maxPartitionBytes",
             os.environ.get("ARTEMIS_MAX_PARTITION_BYTES", str(4 * 1024 * 1024)),
         )
+        # pack small files: the default openCostInBytes (4MB) gives every
+        # file a 4MB floor weight, so with 4MB maxPartitionBytes each
+        # bucket-partitioned delta file becomes its OWN scan task — a
+        # k-member url_seen/host_stats chain over 256 buckets then costs
+        # k*256 task launches per reconstruction, which serializes
+        # core-starved runs (local[2] round walls grew 1.5x over 6
+        # rounds; see BENCH.md round 4).  64KB packs the tiny delta
+        # files ~60-to-a-split while leaving large-file splitting to
+        # maxPartitionBytes.
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("ARTEMIS_OPEN_COST_BYTES", str(64 * 1024)),
+        )
     )
     # ad-hoc conf overrides for experiments/ops without code changes,
     # e.g. ARTEMIS_EXTRA_CONF='{"spark.sql.codegen.wholeStage":"false"}'

@@ -96,11 +96,14 @@ def bench_crawl(spark, tier: str, rounds: int, budget: int) -> dict:
         extract_markup=bool(int(os.environ.get("ARTEMIS_BENCH_MARKUP", "1"))),
         decode_payloads=bool(int(os.environ.get("ARTEMIS_BENCH_DECODE", "1"))),
     )
-    # A/B knob for the round-plan pinning strategy (defaults to the
-    # CrawlConfig default when unset)
+    # A/B knobs (default to the CrawlConfig defaults when unset):
+    # plan pinning strategy and delta-chain compaction threshold
     pin_env = os.environ.get("ARTEMIS_BENCH_PLAN_PIN")
     if pin_env is not None:
         cfg.plan_pin = bool(int(pin_env))
+    chain_env = os.environ.get("ARTEMIS_BENCH_MAX_CHAIN")
+    if chain_env is not None:
+        cfg.state_delta_max_chain = int(chain_env)
     eng = CrawlEngine(spark, web_dir, state_dir, cfg, seeds_path=seeds_path)
     t0 = time.monotonic()
     stats = eng.run(rounds)
