@@ -67,6 +67,36 @@ def page_url(k: int, j: int) -> str:
     return f"http://{host_name(k)}/page{j}"
 
 
+def torrent_url(k: int) -> str:
+    """Hosts k%11==4 serve a bittorrent metainfo file (S6,
+    Task.buildFromFile).  The path is keyed by k%22 — the same key as
+    the CONTENT — so two torrent hosts out of every 22 serve byte-
+    identical metainfo (same info-hash) and the wave-level info-hash
+    dedup path is exercised at small+ tiers."""
+    return f"http://{host_name(k)}/bundle{k % 22:04d}.torrent"
+
+
+def torrent_bytes(g: int) -> bytes:
+    """Deterministic bencoded metainfo for content key ``g``."""
+    from .sources.torrents import bencode
+
+    return bencode(
+        {
+            "announce": f"http://tracker{g:02d}.test/announce",
+            "announce-list": [
+                [f"udp://tracker{g:02d}.test:6969"],
+                [f"http://tracker{g:02d}b.test/a"],
+            ],
+            "info": {
+                "name": f"bundle{g:04d}",
+                "piece length": 16384,
+                "length": 4096 + g,
+                "pieces": hashlib.sha1(f"pieces-{g}".encode()).digest(),
+            },
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # payloads
 # ---------------------------------------------------------------------------
@@ -284,6 +314,28 @@ def gen_link_graph(spec: WebSpec, epoch: int = 0) -> pd.DataFrame:
             )
     if sm_rows:
         df = pd.concat([df, pd.DataFrame(sm_rows)], ignore_index=True)
+
+    # .torrent resources (S6, Task.buildFromFile): body is raw bencoded
+    # metainfo, no image payload (the F6 gate rejects it from saving —
+    # only the magnet-queue handler consumes it), no outlinks.
+    tor_rows = []
+    for k in range(n_hosts):
+        if k % 11 != 4:
+            continue
+        turl = torrent_url(k)
+        tor_rows.append(
+            {
+                "url": turl,
+                "image_id": None,
+                "status": 200,
+                "location": None,
+                "outlinks": [],
+                "content_sha224": content_sha(turl, epoch, True),
+                "body": torrent_bytes(k % 22),
+            }
+        )
+    if tor_rows:
+        df = pd.concat([df, pd.DataFrame(tor_rows)], ignore_index=True)
     return df
 
 
@@ -418,6 +470,14 @@ def gen_seeds(spec: WebSpec) -> pd.DataFrame:
     rows = [
         {"url": page_url(k, 0), "depth": 0, "nature": "web_static"}
         for k in range(spec.n_seeds)
+    ]
+    # seed the .torrent files directly (their hosts' pages may never link
+    # them): same-round fetches are what exercises the wave-level
+    # info-hash dedup when two hosts serve identical metainfo
+    rows += [
+        {"url": torrent_url(k), "depth": 0, "nature": "web_static"}
+        for k in range(spec.n_hosts)
+        if k % 11 == 4
     ]
     return pd.DataFrame(rows)
 

@@ -19,8 +19,10 @@ be changed in lockstep.
 
 from __future__ import annotations
 
+import hashlib
 import re
 from dataclasses import dataclass, field
+from urllib.parse import quote
 
 import pyarrow.parquet as pq
 
@@ -31,6 +33,7 @@ _SCHEME_RE = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.\-]*):")
 
 ROBOTS_BLOCKED_STATUS = 999
 AUTH_DEFERRED_STATUS = 998
+TORRENT_QUEUED_STATUS = 997
 
 
 # ---------------------------------------------------------------------------
@@ -54,6 +57,76 @@ def _attr(tag: str, name: str) -> str | None:
     if not m or not m.group(1):
         m = re.search(rf"\b{name}\s*=\s*'([^']*)'", tag, re.I)
     return _unescape(m.group(1)) if m and m.group(1) else None
+
+
+# ---------------------------------------------------------------------------
+# torrent grammar mirror (sources/torrents.py make_magnet_from_torrent;
+# reference Task.buildFromFile, /root/reference/src/Task.py:47-59) —
+# independently implemented: dict entries carry (value, start, end)
+# triples instead of the engine parser's span side-table, so the two
+# parsers only agree if the grammar itself is right.
+# ---------------------------------------------------------------------------
+
+
+def _bscan(b: bytes, i: int):
+    """Decode one bencoded value at offset ``i`` -> (value, end); dict
+    values are (value, start, end) triples so the caller can hash the
+    exact byte span of ``info``."""
+    c = b[i : i + 1]
+    if c == b"i":
+        e = b.index(b"e", i)
+        return int(b[i + 1 : e]), e + 1
+    if c == b"l":
+        vals, i = [], i + 1
+        while b[i : i + 1] != b"e":
+            v, i = _bscan(b, i)
+            vals.append(v)
+        return vals, i + 1
+    if c == b"d":
+        d, i = {}, i + 1
+        while b[i : i + 1] != b"e":
+            k, i = _bscan(b, i)
+            s = i
+            v, i = _bscan(b, i)
+            d[k] = (v, s, i)
+        return d, i + 1
+    if c.isdigit():
+        col = b.index(b":", i)
+        n = int(b[i:col])
+        return b[col + 1 : col + 1 + n], col + 1 + n
+    raise ValueError(f"malformed bencode at {i}")
+
+
+def _magnet_from_torrent(b: bytes) -> tuple[str, str] | None:
+    """(magnet_uri, info_hash) from .torrent bytes, or None when the
+    payload is not a bittorrent metainfo file (buildFromFile returns
+    None, Task.py:58-59)."""
+    b = bytes(b)
+    try:
+        top, _ = _bscan(b, 0)
+    except (ValueError, IndexError, OverflowError):
+        return None
+    if not isinstance(top, dict) or b"info" not in top:
+        return None
+    info, s, e = top[b"info"]
+    ih = hashlib.sha1(b[s:e]).hexdigest()
+    out = ["magnet:?xt=urn:btih:" + ih]
+    name = info.get(b"name", (None, 0, 0))[0] if isinstance(info, dict) else None
+    if isinstance(name, bytes) and name:
+        out.append("dn=" + quote(name.decode("utf-8", "replace"), safe=""))
+    trackers: list[bytes] = []
+    al = top.get(b"announce-list", (None, 0, 0))[0]
+    if isinstance(al, list):
+        for tier in al:
+            for t in tier if isinstance(tier, list) else []:
+                if isinstance(t, bytes) and t not in trackers:
+                    trackers.append(t)
+    ann = top.get(b"announce", (None, 0, 0))[0]
+    if isinstance(ann, bytes) and ann not in trackers:
+        trackers.append(ann)
+    for t in trackers:
+        out.append("tr=" + quote(t.decode("utf-8", "replace"), safe=""))
+    return "&".join(out), ih
 
 
 def _parse_login_form(body: str) -> tuple[str, str, str | None] | None:
@@ -406,6 +479,11 @@ class ReferenceModel:
         # fetch + gates + extraction
         next_frontier: list[tuple[str, int, str, int]] = []
         inlink_delta: dict[str, int] = {}
+        # fetched .torrent payloads -> magnet tasks (Task.buildFromFile,
+        # /root/reference/src/Task.py:47-59), deduped per wave on
+        # info-hash with a deterministic min-tuple parent pick — must
+        # match plans/crawl.py's groupBy(info_hash).agg(min(struct(...)))
+        torrent_queue: dict[str, tuple[int, str, str, str]] = {}
         fetched_urls = sorted(scheduled, key=lambda c: (c["host"], -c["score"], c["url"]))
         for c, status in [(c, ROBOTS_BLOCKED_STATUS) for c in blocked] + [
             (c, AUTH_DEFERRED_STATUS) for c in auth_deferred
@@ -460,6 +538,27 @@ class ReferenceModel:
                     auth=self.auth_rules.get(c["host"], "no"),
                 )
             )
+            torrent_parsed = False
+            if (
+                status == 200
+                and not unchanged
+                and url.endswith(".torrent")
+                and g is not None
+                and g.get("body")
+            ):
+                mg = _magnet_from_torrent(g["body"])
+                if mg is not None:
+                    torrent_parsed = True
+                    magnet, ih = mg
+                    tup = (
+                        c["depth"],
+                        c["host"],
+                        self.auth_rules.get(c["host"], "no"),
+                        magnet,
+                    )
+                    cur = torrent_queue.get(ih)
+                    if cur is None or tup < cur:
+                        torrent_queue[ih] = tup
             if status in (301, 302, 307, 308) and location:
                 tgt = canonicalize(resolve_url(url, location))
                 if tgt:
@@ -480,8 +579,28 @@ class ReferenceModel:
             self.seen[url] = SeenEntry(
                 depth=c["depth"], score=c["score"],
                 last_visited_round=r, last_controlled_round=r,
-                last_hash=(sha if saved else c["last_hash"]),
+                # a parsed .torrent records its sha even though nothing is
+                # saved: F7 then suppresses re-parse/re-queue on recrawl
+                last_hash=(sha if (saved or torrent_parsed) else c["last_hash"]),
                 refresh_rate=new_rate, nature=c["nature"], round_added=c["round_added"],
+            )
+        # queued magnet tasks: logged with the handler-queue marker and
+        # MERGEd into seen so the same info-hash is never re-queued while
+        # the .torrent content is unchanged (the F7 short-circuit already
+        # suppresses re-parsing); refresh_rate=MAX — in-sandbox there is
+        # no transmission daemon to ever complete them (S6 stub)
+        for ih in sorted(torrent_queue):
+            pdepth, phost, pauth, magnet = torrent_queue[ih]
+            self.crawl_log.append(
+                dict(round=r, url=magnet, host=phost,
+                     status=TORRENT_QUEUED_STATUS, image_id=None, phash=None,
+                     caption=None, auth=pauth)
+            )
+            self.seen[magnet] = SeenEntry(
+                depth=pdepth + 1, score=0.0,
+                last_visited_round=None, last_controlled_round=r,
+                last_hash="", refresh_rate=MAX_REFRESH_RATE,
+                nature="web_static_torrent", round_added=r + 1,
             )
         # sitemap side-emit for hosts touched this round
         for host in sorted({c["host"] for c in scheduled}):

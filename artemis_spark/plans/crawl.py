@@ -61,6 +61,7 @@ from .. import schemas as S
 
 ROBOTS_BLOCKED_STATUS = 999  # crawl_log marker for robots-rejected URLs
 AUTH_DEFERRED_STATUS = 998  # crawl_log marker for auth-gated (deferred) URLs
+TORRENT_QUEUED_STATUS = 997  # crawl_log marker for magnet tasks queued from .torrent payloads
 
 CANDIDATE_COLS = ["url", "host", "depth", "nature", "round_added"]
 
@@ -646,9 +647,14 @@ class CrawlEngine:
             & (F.col("last_hash") != "")
             & (F.col("content_sha224") == F.col("last_hash"))
         )
-        # F6 content-type gate (sitemaps carry no image payload)
+        # F6 content-type gate (sitemaps carry no image payload).  NULL
+        # fmt (a 200 row with no image payload at all, e.g. a .torrent
+        # file) must gate as False, not NULL: backoff_needed's ~fmt_ok
+        # conjunct would otherwise go NULL and skip the backoff bump.
         is_sitemap = F.col("nature") == "web_static_sitemap"
-        fmt_ok = is_sitemap | F.col("fmt").isin(*cfg.allowed_fmts)
+        fmt_ok = is_sitemap | F.coalesce(
+            F.col("fmt").isin(*cfg.allowed_fmts), F.lit(False)
+        )
         saved = (F.col("status") == 200) & ~unchanged & fmt_ok
 
         fetched = (
@@ -656,6 +662,30 @@ class CrawlEngine:
             .withColumn("saved", saved)
             .withColumn("extractable", saved)
         )
+
+        # S6 .torrent -> magnet (Task.buildFromFile,
+        # /root/reference/src/Task.py:47-59): a fetched, changed
+        # ``.torrent`` payload is bencode-parsed into a magnet URI inline
+        # in the fetch pass — the when()-guard NULLs the bytes for every
+        # non-torrent row, so the Arrow transfer ships nulls and the UDF
+        # pays only a null check outside the (rare) torrent rows.  NULL
+        # magnet == not a torrent fetch / malformed metainfo.
+        has_body = "body" in fetched.columns
+        if has_body:
+            from ..sources.torrents import magnet_of_torrent
+
+            is_torrent_fetch = (
+                (F.col("status") == 200)
+                & ~F.col("unchanged")
+                & F.col("url").endswith(".torrent")
+                & F.col("body").isNotNull()
+            )
+            fetched = fetched.withColumn(
+                "magnet",
+                magnet_of_torrent(F.when(is_torrent_fetch, F.col("body"))),
+            )
+        else:
+            fetched = fetched.withColumn("magnet", F.lit(None).cast("string"))
 
         if cfg.decode_payloads:
             from ..functions.images import decode_validate_image
@@ -685,6 +715,28 @@ class CrawlEngine:
                 ),
             ).drop("outlinks")
         fetched = _pin(fetched.drop("bytes", "body"))
+
+        # S6 wave-level info-hash dedup: two .torrent URLs serving the
+        # SAME metainfo (identical bytes -> identical info-hash) must
+        # queue ONE magnet task; the winner is the deterministic
+        # min-(depth, host, auth, magnet) parent — struct min == the
+        # model's lexicographic tuple min.  Tiny per-wave set (torrent
+        # rows only), one hash aggregate.
+        torrent_queue = (
+            fetched.filter(F.col("magnet").isNotNull())
+            .select(
+                F.regexp_extract("magnet", "btih:([0-9a-f]{40})", 1).alias("info_hash"),
+                F.struct("depth", "host", "auth", "magnet").alias("t"),
+            )
+            .groupBy("info_hash")
+            .agg(F.min("t").alias("t"))
+            .select(
+                F.col("t.depth").alias("depth"),
+                F.col("t.host").alias("host"),
+                F.col("t.auth").alias("auth"),
+                F.col("t.magnet").alias("magnet"),
+            )
+        )
 
         # ----- crawl log (S8/S9 sink)
         # payload validation (input_hint): decoded dims + phash must match
@@ -725,6 +777,23 @@ class CrawlEngine:
                 "url",
                 "host",
                 F.lit(AUTH_DEFERRED_STATUS).alias("status"),
+                F.lit(None).cast("string").alias("image_id"),
+                F.lit(None).cast("long").alias("phash"),
+                F.lit(None).cast("string").alias("caption"),
+                F.lit(None).cast("boolean").alias("payload_ok"),
+                F.lit(now).alias("fetched_at"),
+                "auth",
+            )
+        ).unionByName(
+            # queued magnet tasks (handler-queue marker): host/auth are
+            # the winning parent's — the task is attributed to the page
+            # that supplied the metainfo, like the reference's task
+            # parentage (Task.buildFromFile inherits the parent task)
+            torrent_queue.select(
+                F.lit(r).alias("round"),
+                F.col("magnet").alias("url"),
+                "host",
+                F.lit(TORRENT_QUEUED_STATUS).alias("status"),
                 F.lit(None).cast("string").alias("image_id"),
                 F.lit(None).cast("long").alias("phash"),
                 F.lit(None).cast("string").alias("caption"),
@@ -812,7 +881,11 @@ class CrawlEngine:
             F.col("score"),
             F.lit(now).alias("last_visited"),
             F.lit(now).alias("last_controlled"),
-            F.when(F.col("saved"), F.col("content_sha224"))
+            # a successfully-parsed .torrent also records its content sha
+            # even though nothing is "saved": the F7 short-circuit then
+            # suppresses re-parsing (and re-queueing) on recrawl while
+            # the metainfo is unchanged
+            F.when(F.col("saved") | F.col("magnet").isNotNull(), F.col("content_sha224"))
             .otherwise(F.col("last_hash"))
             .alias("last_hash"),
             # greatest(1, ...): a completed session-fetch must clear the
@@ -860,6 +933,26 @@ class CrawlEngine:
                 F.col("_rr").alias("refresh_rate"),
                 "nature",
                 F.col("round_added"),
+            )
+        ).unionByName(
+            # queued magnet tasks MERGE into url_seen keyed on the full
+            # magnet URI (info-hash identity): the same torrent is never
+            # re-queued while its metainfo is unchanged.  host = winning
+            # parent's (magnet URIs have no authority); refresh_rate=MAX —
+            # no transmission daemon in-sandbox ever completes them (S6
+            # stub), and the F2 nature gate keeps them unfetchable.
+            torrent_queue.select(
+                F.col("magnet").alias("url"),
+                "host",
+                F.lit("magnet").alias("scheme"),
+                (F.col("depth") + 1).cast("int").alias("depth"),
+                F.lit(0.0).alias("score"),
+                F.lit(None).cast("timestamp").alias("last_visited"),
+                F.lit(now).alias("last_controlled"),
+                F.lit("").alias("last_hash"),
+                F.lit(MAX_REFRESH_RATE).alias("refresh_rate"),
+                F.lit("web_static_torrent").alias("nature"),
+                F.lit(r + 1).alias("round_added"),
             )
         )
         seen_updates = _pin(seen_updates)  # consumed by merge_upsert, recrawl merged_state and bloom

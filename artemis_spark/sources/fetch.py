@@ -69,10 +69,17 @@ def build_web(
     # unused one — the page-body markup and the pre-parsed outlink array
     # duplicate the same links, and caching both roughly doubles the
     # one-time cache build (sort + memory) and the per-round join width.
-    body = (
-        F.col("body") if include_body and "body" in link_graph.columns
-        else F.lit(None).cast("binary").alias("body")
-    )
+    if "body" not in link_graph.columns:
+        body = F.lit(None).cast("binary").alias("body")
+    elif include_body:
+        body = F.col("body")
+    else:
+        # even when markup extraction is off (outlinks-join path), the
+        # bytes of .torrent resources must flow through the fetch: the
+        # magnet-queue handler (S6) parses them, and the pre-parsed
+        # outlink array carries no substitute.  Torrent rows are rare, so
+        # the cache stays slim.
+        body = F.when(F.col("url").endswith(".torrent"), F.col("body")).alias("body")
     fetch_cols = [
         F.col(c)
         if include_outlinks or c != "outlinks"

@@ -25,7 +25,10 @@ from __future__ import annotations
 import hashlib
 from urllib.parse import quote
 
+import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # ---------------------------------------------------------------------------
 # .torrent -> magnet conversion (reference Task.buildFromFile,
@@ -120,6 +123,21 @@ def make_magnet_from_torrent(b: bytes) -> str | None:
     for t in trackers:
         parts.append("tr=" + quote(t.decode("utf-8", "replace"), safe=""))
     return "&".join(parts)
+
+
+@F.pandas_udf(T.StringType())
+def magnet_of_torrent(data: pd.Series) -> pd.Series:
+    """Column-level Task.buildFromFile (/root/reference/src/Task.py:47-59):
+    Arrow-batched map of ``.torrent`` payload bytes -> magnet URI, NULL
+    for NULL input or non-torrent/malformed bytes.  Callers pass a
+    ``when()``-guarded bytes column so non-torrent rows arrive NULL and
+    cost only a null check (vectorized UDFs see the whole batch even
+    under when()) — the crawl round attaches the magnet inline in its
+    single fetch pass instead of re-running the fetch join for the
+    torrent subset."""
+    return data.map(
+        lambda b: None if b is None else make_magnet_from_torrent(bytes(b))
+    )
 
 
 TORRENT_MAGNET_SCHEMA = "url string, magnet string, info_hash string"

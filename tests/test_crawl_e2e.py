@@ -52,7 +52,7 @@ def test_crawl_order_matches_model(engine_run, model_run):
         eng_urls = sorted(
             row["url"]
             for row in log
-            if row["round"] == r and row["status"] not in (998, 999)
+            if row["round"] == r and row["status"] not in (997, 998, 999)
         )
         mod_urls = sorted(result["rounds"][r]) if r < len(result["rounds"]) else []
         assert eng_urls == mod_urls, f"round {r} fetch set diverged"
@@ -109,6 +109,31 @@ def test_payload_validation_all_ok(engine_run):
     saved = log.filter(log["image_id"].isNotNull()).collect()
     assert len(saved) > 0
     assert all(r["payload_ok"] for r in saved)
+
+
+def test_torrent_magnets_queued(engine_run, model_run):
+    """S6 in-round wiring: the tiny web seeds one ``.torrent`` URL; its
+    fetched payload must be bencode-parsed into a magnet task, logged
+    with the handler-queue marker (997) and MERGEd into url_seen keyed
+    by the full magnet URI (info-hash identity — Task.buildFromFile,
+    /root/reference/src/Task.py:47-59).  Row-level equality with the
+    model is covered by test_crawl_log_rows_match_model; this asserts
+    the torrent-specific invariants directly."""
+    eng, _ = engine_run
+    _, result = model_run
+    queued = [r for r in _engine_log(eng) if r["status"] == 997]
+    assert queued, "no magnet task was queued from the seeded .torrent"
+    assert all(r["url"].startswith("magnet:?xt=urn:btih:") for r in queued)
+    # one queue row per info-hash: unchanged .torrent content must not
+    # re-queue on recrawl (F7 short-circuit)
+    assert len({r["url"] for r in queued}) == len(queued)
+    seen_df = eng.store.read("url_seen")
+    magnets = {
+        r["url"]: r for r in seen_df.collect() if r["url"].startswith("magnet:")
+    }
+    assert set(magnets) == {r["url"] for r in queued}
+    for row in magnets.values():
+        assert row["nature"] == "web_static_torrent"
 
 
 def test_resume_after_interrupt_equals_straight_run(spark, tmp_path, tiny_web):

@@ -144,14 +144,22 @@ def test_datagen_bodies_match_render_grammar(tiny_web, spark):
     sitemap bodies == render_sitemap_xml."""
     import pyarrow.parquet as pq
 
+    import re
+
+    from artemis_spark.datagen import torrent_bytes
+
     lg = pq.read_table(f"{tiny_web}/link_graph.parquet").to_pylist()
     assert all(r["body"] is not None for r in lg)
-    checked_page = checked_sm = 0
+    checked_page = checked_sm = checked_tor = 0
     for r in lg[:50] + lg[-5:]:
         if r["url"].endswith("sitemap.xml"):
             assert bytes(r["body"]) == render_sitemap_xml(r["outlinks"] or [])
             checked_sm += 1
+        elif r["url"].endswith(".torrent"):
+            g = int(re.search(r"bundle(\d+)\.torrent$", r["url"]).group(1))
+            assert bytes(r["body"]) == torrent_bytes(g)
+            checked_tor += 1
         else:
             assert bytes(r["body"]) == render_page_html(r["url"], r["outlinks"] or [])
             checked_page += 1
-    assert checked_page > 0 and checked_sm > 0
+    assert checked_page > 0 and checked_sm > 0 and checked_tor > 0

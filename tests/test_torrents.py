@@ -184,3 +184,41 @@ def test_torrents_to_magnets_wave(spark):
     )
     assert parsed["info_hash"] == h
     assert parsed["display_name"] == "ubuntu.iso"
+
+
+# ---------------------------------------------------------------------------
+# model mirror vs engine parser: the two bencode implementations (span
+# side-table in sources/torrents.py vs (value,start,end) triples in
+# model.py) must emit identical magnets on well-formed and reject the
+# same malformed inputs — the e2e golden run relies on this agreement.
+# ---------------------------------------------------------------------------
+
+
+def test_model_magnet_mirror_agrees_with_engine_parser():
+    from artemis_spark.model import _magnet_from_torrent
+    from artemis_spark.sources.torrents import bencode, make_magnet_from_torrent
+
+    cases = [
+        {"announce": b"http://tr0.test/announce",
+         "info": {"name": b"data-a", "piece length": 16384, "length": 123456,
+                  "pieces": b"\x01\x02" * 10}},
+        {"announce": b"http://tr0.test/announce",
+         "announce-list": [[b"udp://t1.test:80"], [b"http://t2.test/a",
+                                                   b"http://tr0.test/announce"]],
+         "info": {"name": b"name with spaces & unicode \xc3\xa9".decode("utf-8").encode("utf-8"),
+                  "piece length": 32768, "length": 1,
+                  "pieces": bytes(range(20))}},
+        {"info": {"name": b"", "length": 0, "pieces": b""}},  # empty dn dropped
+    ]
+    for top in cases:
+        raw = bencode(top)
+        eng = make_magnet_from_torrent(raw)
+        mod = _magnet_from_torrent(raw)
+        assert eng is not None and mod is not None
+        assert mod[0] == eng
+        assert mod[1] == eng.split("btih:", 1)[1].split("&", 1)[0]
+
+    for bad in [b"", b"not bencode", b"d4:spam4:eggse", bencode([1, 2, 3]),
+                b"d4:infoi3e"]:  # truncated dict
+        assert make_magnet_from_torrent(bad) is None
+        assert _magnet_from_torrent(bad) is None
