@@ -34,6 +34,18 @@ def test_status_listener_retention_bounded(spark):
     assert int(spark.conf.get("spark.ui.retainedJobs")) <= 200
 
 
+def test_engine_conf_dict_matches_session(spark):
+    # engine_conf() is the single source both launch modes draw from
+    # (get_spark and tools/submit_crawl.py); a key drifting between the
+    # dict and the live session means one mode silently lost a tuning.
+    from artemis_spark.session import engine_conf
+
+    for k, v in engine_conf(4).items():
+        if k == "spark.driver.memory":
+            continue  # fixed at JVM start; suite JVM may predate the env
+        assert spark.conf.get(k) == v, k
+
+
 def test_copartition_and_aqe(spark):
     # zero-exchange host-keyed joins (Phi colocation) and runtime skew
     # handling are load-bearing plan shapes, not tuning suggestions.
