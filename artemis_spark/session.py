@@ -125,7 +125,13 @@ def get_spark(
     /root/reference/src/Netarea.py:7-11).
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    master = master or f"local[{cpus}]"
+    # ARTEMIS_MASTER overrides the default thread-local master — e.g.
+    # "local-cluster[4,1,6144]" runs 4 real executor JVMs behind a
+    # standalone-style scheduler, the in-sandbox analogue of "4
+    # executors" for the north_rule's N -> 4N scaling evidence (the
+    # driver process is identical at both sizes, so driver-side fixed
+    # cost cancels out of the ratio exactly as on a real cluster).
+    master = master or os.environ.get("ARTEMIS_MASTER") or f"local[{cpus}]"
     n_shuffle = shuffle_partitions or cpus
 
     builder = SparkSession.builder.master(master).appName(app_name)

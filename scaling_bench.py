@@ -71,6 +71,15 @@ def run_at(cpus: int, tier: str, rounds: int, budget: int, reps: int) -> dict:
         ARTEMIS_BENCH_ROUNDS=str(rounds),
         ARTEMIS_BENCH_BUDGET=str(budget),
     )
+    # ARTEMIS_MASTER_TEMPLATE="local-cluster[{n},1,6144]" runs each
+    # level as {n} REAL executor JVMs behind a standalone-style
+    # scheduler instead of {n} threads in the driver JVM — the honest
+    # in-sandbox reading of the north_rule's "N and 4N executors"
+    # (driver process identical at both sizes, executor size fixed,
+    # only the executor COUNT varies).
+    tmpl = os.environ.get("ARTEMIS_MASTER_TEMPLATE")
+    if tmpl:
+        env["ARTEMIS_MASTER"] = tmpl.format(n=cpus)
     env.setdefault("ARTEMIS_BENCH_SEEDS_PER_HOST", "256")
     env.setdefault("ARTEMIS_BENCH_REVISIT", "1")
     env.setdefault("ARTEMIS_DRIVER_MEM", "48g")
