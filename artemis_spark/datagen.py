@@ -56,6 +56,13 @@ TIERS: dict[str, WebSpec] = {
     "small": WebSpec(n_hosts=64, pages_per_host=96, n_payloads=6000, n_seeds=16),
     "bench": WebSpec(n_hosts=512, pages_per_host=1172, n_payloads=60000, n_seeds=128),
     "huge": WebSpec(n_hosts=2048, pages_per_host=1172, n_payloads=240000, n_seeds=512),
+    # Scaling-evidence tier: 2x the hosts of "huge" at the same per-host
+    # politeness budget, so steady-state waves are ~2x wider and a
+    # low-parallelism round's wall time dominates the fixed per-round
+    # driver cost (planning/codegen/commit) the way a real 10^10-URL
+    # frontier round would.  Used by scaling_bench.py for the N -> 4N
+    # efficiency pairs; identical input at every level (strong scaling).
+    "huge4k": WebSpec(n_hosts=4096, pages_per_host=1172, n_payloads=480000, n_seeds=1024),
 }
 
 

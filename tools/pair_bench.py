@@ -54,6 +54,9 @@ def main() -> None:
             "steady": r.get("urls_per_sec_steady"),
             "probe_n8": r.get("hw_probe_tasks_per_sec_n8"),
             "wall_sec": r.get("wall_sec"),
+            # full per-round walls so tools/pair_analyze.py can fit the
+            # serial + parallel/N decomposition on matched waves
+            "per_round": r.get("per_round"),
         }
         runs.append(rec)
         print(json.dumps(rec), flush=True)
