@@ -50,14 +50,22 @@ def with_score(schedulable: DataFrame, host_stats: DataFrame) -> DataFrame:
     )
 
 
-def politeness_topk(scored: DataFrame, budget: int) -> tuple[DataFrame, DataFrame]:
-    """(scheduled, deferred) by per-host window rank.
+def politeness_ranked(scored: DataFrame) -> DataFrame:
+    """The wave with its per-host politeness rank (``_rk``) attached.
 
     Deterministic total order inside a host: score desc, url asc —
-    the tie-break mandated by SURVEY.md §5 fixture semantics.
+    the tie-break mandated by SURVEY.md §5 fixture semantics.  Exposed
+    separately from :func:`politeness_topk` so the crawl round can pin
+    (materialize) the ranked wave once and derive scheduled/deferred as
+    filter scans instead of evaluating the window per branch.
     """
     w = Window.partitionBy("host").orderBy(F.desc("score"), F.asc("url"))
-    ranked = scored.withColumn("_rk", F.row_number().over(w))
+    return scored.withColumn("_rk", F.row_number().over(w))
+
+
+def politeness_topk(scored: DataFrame, budget: int) -> tuple[DataFrame, DataFrame]:
+    """(scheduled, deferred) by per-host window rank."""
+    ranked = politeness_ranked(scored)
     scheduled = ranked.filter(F.col("_rk") <= budget).drop("_rk")
     deferred = ranked.filter(F.col("_rk") > budget).drop("_rk")
     return scheduled, deferred

@@ -32,17 +32,16 @@ def _rules_per_host(robots_rules: DataFrame, current_round_ts) -> DataFrame:
     )
 
 
-def apply_robots(
+def apply_robots_flags(
     wave: DataFrame,
     robots_rules: DataFrame,
     current_round_ts,
-) -> tuple[DataFrame, DataFrame]:
-    """(allowed, blocked) split of the wave by longest-match robots rules.
-
-    Expired rules (now > fetched_at + ttl) are ignored — refresh is
-    modeled as re-reading the table (a live deployment re-fetches,
-    /root/reference/src/Robot.py:91-98).
-    """
+) -> DataFrame:
+    """Single-pass variant: the wave annotated with a ``robots_allowed``
+    boolean instead of two filtered branches.  A caller that pins
+    (materializes) the annotated wave evaluates the rules join ONCE and
+    derives allowed/blocked as filter scans of the pin — splitting first
+    would re-execute the whole upstream candidate chain per branch."""
     per_host = _rules_per_host(robots_rules, current_round_ts)
     j = (
         wave.withColumn("_path", path_of(F.col("url")))
@@ -60,9 +59,23 @@ def apply_robots(
             ),
         )
     )
-    decided = j.withColumn(
+    return j.withColumn(
         "robots_allowed", F.coalesce(best["allow"], F.lit(True))
     ).drop("_path", "_rules")
+
+
+def apply_robots(
+    wave: DataFrame,
+    robots_rules: DataFrame,
+    current_round_ts,
+) -> tuple[DataFrame, DataFrame]:
+    """(allowed, blocked) split of the wave by longest-match robots rules.
+
+    Expired rules (now > fetched_at + ttl) are ignored — refresh is
+    modeled as re-reading the table (a live deployment re-fetches,
+    /root/reference/src/Robot.py:91-98).
+    """
+    decided = apply_robots_flags(wave, robots_rules, current_round_ts)
     allowed = decided.filter(F.col("robots_allowed")).drop("robots_allowed")
     blocked = decided.filter(~F.col("robots_allowed")).drop("robots_allowed")
     return allowed, blocked

@@ -302,6 +302,62 @@ def embedding_near_dup_pairs(
     )
 
 
+def kmeans_centroids(
+    embeddings: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 5,
+) -> DataFrame:
+    """Lloyd (spherical) k-means coarse quantizer for IVF.
+
+    The scale shape keeps the corpus distributed and only the O(n_cells)
+    centroid table ever moves: each iteration is one broadcast argmax
+    join (assignment) + one (cell, dim) hash aggregate (new means),
+    after which the tiny centroid table is collected and re-broadcast.
+    Deterministic: init = the ``n_cells`` smallest-id corpus vectors,
+    cosine ties break toward the lower cell id, and a cell that loses
+    all members keeps its previous centroid.  Returns (cell, cent_vec)
+    with cells numbered 0..n_cells-1.
+    """
+    spark = embeddings.sparkSession
+    init = (
+        embeddings.orderBy(F.col(id_col))
+        .limit(n_cells)
+        .select(F.col(vec_col).cast("array<double>").alias("cent_vec"))
+        .collect()
+    )
+    cents = [list(r["cent_vec"]) for r in init]
+    corpus = embeddings.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    aw = Window.partitionBy("_id").orderBy(F.desc("_sim"), F.asc("cell"))
+    for _ in range(max(0, iters)):
+        cdf = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)], "cell int, cent_vec array<double>"
+        )
+        assigned = (
+            corpus.join(F.broadcast(cdf))
+            .withColumn("_sim", F.round(cosine_expr(F.col("_v"), F.col("cent_vec")), 6))
+            .withColumn("_rk", F.row_number().over(aw))
+            .where(F.col("_rk") == 1)
+            .select("cell", F.posexplode("_v").alias("pos", "val"))
+        )
+        means = (
+            assigned.groupBy("cell", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("_s"))
+            .select("cell", F.transform("_s", lambda s: s["m"]).alias("cent_vec"))
+            .collect()
+        )
+        for r in means:  # empty cells keep their previous centroid
+            cents[int(r["cell"])] = list(r["cent_vec"])
+    return spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cell int, cent_vec array<double>"
+    )
+
+
 def ivf_ann_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -310,16 +366,20 @@ def ivf_ann_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantizer: str = "deterministic",
 ) -> DataFrame:
     """IVF (inverted-file) ANN: coarse-quantize the corpus into cells,
     probe only the query's nearest cells.
 
-    The coarse quantizer here is deterministic — the ``n_cells`` corpus
-    vectors with the smallest ids serve as centroids — so the DuckDB
-    oracle reproduces the index bit-for-bit.  On a cluster the centroid
-    table is instead k-means output trained once and broadcast; every
-    other line is unchanged, which is the point: IVF's scale shape is
-    the two broadcast argmax joins, not the centroid fitting.
+    The default coarse quantizer is deterministic — the ``n_cells``
+    corpus vectors with the smallest ids serve as centroids — so the
+    DuckDB oracle reproduces the index bit-for-bit.
+    ``quantizer="kmeans"`` instead trains Lloyd/spherical centroids
+    (:func:`kmeans_centroids`, same deterministic init) — the
+    production choice for clustered corpora, where data-adapted cells
+    raise probe recall.  Every line below the centroid table is
+    identical under both flags, which is the point: IVF's scale shape
+    is the two broadcast argmax joins, not the centroid fitting.
 
       build:  corpus x centroids (broadcast, |C| rows) -> argmax cosine
               -> cell column; this is the inverted list, and on 100 TB
@@ -333,14 +393,19 @@ def ivf_ann_topk(
     leave most buckets empty.  Cosine is rounded to 3dp BEFORE every
     argmax/rank (ties by id) so engine and oracle order identically.
     """
-    cents = (
-        embeddings.orderBy(F.col(id_col))
-        .limit(n_cells)
-        .select(
-            F.col(id_col).alias("cell"),
-            F.col(vec_col).cast("array<double>").alias("cent_vec"),
+    if quantizer == "kmeans":
+        cents = kmeans_centroids(embeddings, n_cells, id_col, vec_col)
+    elif quantizer == "deterministic":
+        cents = (
+            embeddings.orderBy(F.col(id_col))
+            .limit(n_cells)
+            .select(
+                F.col(id_col).alias("cell"),
+                F.col(vec_col).cast("array<double>").alias("cent_vec"),
+            )
         )
-    )
+    else:
+        raise ValueError(f"unknown quantizer {quantizer!r}")
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )

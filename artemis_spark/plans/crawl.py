@@ -51,8 +51,8 @@ from ..operators.dedup import (
     validate_against_seen,
 )
 from ..functions.markup import first_login_form
-from ..operators.politeness import politeness_topk, with_score
-from ..operators.robots import apply_robots, sitemap_candidates
+from ..operators.politeness import politeness_ranked, with_score
+from ..operators.robots import apply_robots_flags, sitemap_candidates
 from ..rounds import EPOCH_SQL, ROUND_SECONDS, round_ts
 from ..schemas import MAX_REFRESH_RATE, URL_SEEN_SCHEMA
 from ..sources.fetch import build_payload_cache, build_web, synthetic_fetch
@@ -538,7 +538,7 @@ class CrawlEngine:
         schedulable = schedulable.join(
             F.broadcast(self.auth_rules), "host", "left"
         ).withColumn("auth", F.coalesce(F.col("auth"), F.lit("no")))
-        allowed, robots_blocked = apply_robots(schedulable, wave_rules, now)
+        decided = apply_robots_flags(schedulable, wave_rules, now)
 
         # Auth lifecycle (reference AccreditationCache/FormHandler,
         # /root/reference/src/accreditation/AccreditationCache.py:18-30,
@@ -557,21 +557,33 @@ class CrawlEngine:
             .select("host")
             .distinct()
         )
-        # One broadcast LEFT join + two filters, NOT a union of semi/anti
-        # branches: a union re-evaluates the whole upstream candidate
-        # pipeline (bloom probe, validate join, robots) once per member
-        # inside the round's main job — the flag keeps it single-pass.
-        live_flagged = allowed.join(
+        # One broadcast LEFT join + flag columns, NOT a union/split of
+        # semi/anti branches.  The whole gate chain (bloom probe ->
+        # validate join -> robots join -> auth flags) is materialized
+        # ONCE as the `gated` pin; every branch below — robots_blocked,
+        # auth_deferred, fetchable — is a filter SCAN of that pin.
+        # Previously each branch was its own lazy pin whose first action
+        # re-executed the unpinned chain from `candidates`, so the same
+        # O(wave) work (including the Arrow bloom UDF and the validate
+        # join against url_seen) ran up to 4x per round — the dominant
+        # share of the r4 "seen_updates materialize" phase.
+        live_flagged = decided.join(
             F.broadcast(live_sess_hosts.withColumn("_live", F.lit(True))),
             "host",
             "left",
         )
-        fetchable = live_flagged.filter(
-            (F.col("auth") == "no") | F.col("_live")
-        ).drop("_live")
-        auth_deferred = _pin(live_flagged.filter(
-            (F.col("auth") != "no") & F.col("_live").isNull()
-        ).drop("_live"))
+        gated = _pin(live_flagged)
+        robots_blocked = gated.filter(~F.col("robots_allowed")).drop(
+            "robots_allowed", "_live"
+        )
+        auth_deferred = gated.filter(
+            F.col("robots_allowed")
+            & (F.col("auth") != "no")
+            & F.col("_live").isNull()
+        ).drop("robots_allowed", "_live")
+        fetchable = gated.filter(
+            F.col("robots_allowed") & ((F.col("auth") == "no") | F.col("_live"))
+        ).drop("robots_allowed", "_live")
 
         # Login round: every deferred host whose login is PERFORMABLE
         # (credentials + parsed fillable form for 'form' hosts — see
@@ -624,10 +636,13 @@ class CrawlEngine:
             .join(F.broadcast(cand_hosts), "host", "left_semi")
         )
         scored = with_score(fetchable, hs_slice)
-        scheduled, deferred = politeness_topk(scored, cfg.politeness_budget)
-        scheduled = _pin(scheduled)
-        deferred = _pin(deferred)
-        robots_blocked = _pin(robots_blocked)
+        # one window evaluation (the gated pin preserves the routing
+        # exchange's host partitioning through localCheckpoint, so the
+        # window plans sort-only); scheduled and deferred are filter
+        # scans of the ranked pin
+        ranked = _pin(politeness_ranked(scored))
+        scheduled = ranked.filter(F.col("_rk") <= cfg.politeness_budget).drop("_rk")
+        deferred = ranked.filter(F.col("_rk") > cfg.politeness_budget).drop("_rk")
 
         # S2/S3 fetch wave: co-partitioned join against the cached web.
         # (cfg.fetch_salt shapes a real-HTTP wave; the synthetic join path
@@ -1008,27 +1023,141 @@ class CrawlEngine:
         will_delta = delta_on and not full_rewrite and len(cur_chain) >= 1
 
         upd = seen_updates.withColumn("bucket", bucket_of(F.col("host")))
+        def _timed(fn):
+            if not _timing:
+                return fn
+
+            def wrap():
+                t0 = time.monotonic()
+                try:
+                    return fn()
+                finally:
+                    _phases[f"w_{fn.__name__}"] = round(time.monotonic() - t0, 2)
+
+            wrap.__name__ = fn.__name__
+            return wrap
+
+        # ----- robots_cache persist (early).
+        # Delta-log bookkeeping mirroring url_seen's (A1): a normal round
+        # APPENDS only this round's re-fetched rule sets — write cost
+        # O(|refreshed hosts|), one small job — and the read side keeps a
+        # host's NEWEST rule set (state.py group_last); the chain
+        # compacts to one bucketed base every state_delta_max_chain
+        # rounds.  This replaced the per-round read-dirty-buckets +
+        # anti-join + rewrite job, the largest fixed item of the r4
+        # serial write tail (w__robots_cache 8-57 s at local[1]).
+        rc_chain = self.store.delta_chain("robots_cache")
+        rc_base_v = self.store.current_version("robots_cache")
+        rc_cur_chain = rc_chain if rc_chain else ([rc_base_v] if rc_base_v >= 0 else [])
+        rc_delta_on = cfg.state_delta_max_chain > 0 and rc_has_bucket
+        rc_will_delta = (
+            rc_delta_on
+            and len(rc_cur_chain) >= 1
+            and len(rc_cur_chain) < cfg.state_delta_max_chain
+        )
+
+        def _robots_cache():
+            """Returns (version, chain) for the manifest commit."""
+            if rc_has_bucket and refreshed.isEmpty():
+                # nothing refreshed this round: the committed version is
+                # already current — no write job at all
+                return rc_base_v, rc_cur_chain
+            if rc_will_delta:
+                delta = refreshed.withColumn("bucket", bucket_of(F.col("host")))
+                v = self.store.write_version_delta(
+                    "robots_cache", delta.repartition(1, "bucket")
+                )
+                return v, rc_cur_chain + [v]
+            if rc_delta_on or not rc_has_bucket:
+                # compaction round / legacy flat-layout migration: one
+                # full bucketed rewrite of the merged view
+                # (robots_cache_raw IS the chain reconstruction when a
+                # chain exists)
+                full = (
+                    robots_cache_raw.drop("bucket")
+                    .join(
+                        F.broadcast(refreshed.select("host").distinct()),
+                        "host",
+                        "left_anti",
+                    )
+                    .unionByName(refreshed)
+                    .withColumn("bucket", bucket_of(F.col("host")))
+                )
+                v = self.store.write_version_bucketed(
+                    "robots_cache",
+                    full.repartition(
+                        max(1, min(cfg.num_partitions, n_buckets)), "bucket"
+                    ),
+                    [],
+                    link_clean=False,
+                )
+                return v, [v]
+            # delta layout disabled (state_delta_max_chain=0, the r02
+            # layout): dirty-bucket incremental rewrite, clean buckets
+            # hard-linked — the pre-r5 path, kept for that config
+            dirty = sorted(
+                int(x["b"])
+                for x in refreshed.select(bucket_of(F.col("host")).alias("b"))
+                .distinct()
+                .collect()
+            )
+            old_dirty = robots_cache_raw.filter(
+                F.col("bucket").isin(dirty) if dirty else F.lit(False)
+            ).drop("bucket")
+            new_dirty = (
+                old_dirty.join(
+                    F.broadcast(refreshed.select("host").distinct()),
+                    "host",
+                    "left_anti",
+                )
+                .unionByName(refreshed)
+                .withColumn("bucket", bucket_of(F.col("host")))
+            )
+            n_write = max(1, min(cfg.num_partitions, len(dirty) or 1))
+            v = self.store.write_version_bucketed(
+                "robots_cache", new_dirty.repartition(n_write, "bucket"), dirty
+            )
+            return v, [v]
+
+        def _sessions():
+            # tiny per-host table (only auth-gated hosts ever get rows);
+            # when no URL deferred this round no new session can exist —
+            # reuse the committed version, skip the job entirely
+            if auth_deferred.isEmpty():
+                return self.store.current_version("auth_sessions")
+            return self.store.write_version("auth_sessions", sessions_next)
+
         # Materialize the round's heavy shared parent ONCE (the fetch
-        # join + status/extraction projection), then overlap its two
+        # join + status/extraction projection), then overlap its
         # independent consumers in threads: the dirty-bucket collect
         # (which also materializes the seen_updates pin every persist job
-        # reuses) and the exploded resolve+canonicalize extraction pin
+        # reuses), the exploded resolve+canonicalize extraction pin
         # (the round's regex-heaviest projection, needed by the fan-out's
-        # _frontier and _stats jobs).  Sequencing fetched first matters:
-        # two concurrent jobs racing to compute a not-yet-materialized
-        # pin would each schedule the full fetch join.
+        # _frontier and _stats jobs), and the two early persists —
+        # robots_cache and auth_sessions read only pins the fetch job
+        # already materialized (refreshed, gated), so they overlap the
+        # extraction materialize instead of serializing after it in the
+        # write tail.  Sequencing fetched first matters: two concurrent
+        # jobs racing to compute a not-yet-materialized pin would each
+        # schedule the full fetch join.
         fetched.count()
         _mark("fetched_materialize")
-        with ThreadPoolExecutor(max_workers=2) as _tp:
-            _f_dirty = _tp.submit(
+        pool = ThreadPoolExecutor(max_workers=8)
+        try:
+            f_rv = pool.submit(_timed(_robots_cache))
+            f_sv = pool.submit(_timed(_sessions))
+            _f_dirty = pool.submit(
                 lambda: sorted(
                     int(x["bucket"])
                     for x in upd.select("bucket").distinct().collect()
                 )
             )
-            _f_ex = _tp.submit(extracted_with_depth.count)
+            _f_ex = pool.submit(extracted_with_depth.count)
             dirty_buckets = _f_dirty.result()
             _f_ex.result()
+        except BaseException:
+            pool.shutdown(wait=False, cancel_futures=True)
+            raise
         _mark("seen_updates_and_extract_materialize")
         if will_delta:
             merged_dirty = None  # nothing to merge at write time
@@ -1111,24 +1240,13 @@ class CrawlEngine:
         lineage = _pin(lineage)
 
         # ----- persist + atomic commit.
-        # The six persists are data-independent (they share only cached
+        # The persists are data-independent (they share only cached
         # parents), so they run as concurrent Spark jobs from driver
         # threads — the per-job driver overhead overlaps instead of
-        # serializing.  Nothing is visible until the manifest commit.
-        def _timed(fn):
-            if not _timing:
-                return fn
-
-            def wrap():
-                t0 = time.monotonic()
-                try:
-                    return fn()
-                finally:
-                    _phases[f"w_{fn.__name__}"] = round(time.monotonic() - t0, 2)
-
-            wrap.__name__ = fn.__name__
-            return wrap
-
+        # serializing.  robots_cache and auth_sessions were submitted
+        # earlier (overlapping the extraction materialize); the rest
+        # join the same pool here.  Nothing is visible until the
+        # manifest commit.
         def _crawl_log():
             self.store.append_round("crawl_log", crawl_log, r)
 
@@ -1194,55 +1312,6 @@ class CrawlEngine:
         def _frontier():
             return self.store.write_version("frontier", next_frontier)
 
-        def _robots_cache():
-            """Dirty-bucket incremental write: only buckets containing a
-            host refreshed THIS round are rewritten — and their current
-            rows are re-read under a PartitionFilter on the STORED bucket
-            column (the r03 verdict's O(all-hosts)-read fix); clean
-            buckets hard-link.  Legacy flat layout migrates whole once."""
-            if not rc_has_bucket:
-                full = (
-                    robots_cache_raw.join(
-                        F.broadcast(refreshed.select("host").distinct()),
-                        "host",
-                        "left_anti",
-                    )
-                    .unionByName(refreshed)
-                    .withColumn("bucket", bucket_of(F.col("host")))
-                )
-                return self.store.write_version_bucketed(
-                    "robots_cache",
-                    full.repartition(max(1, min(cfg.num_partitions, n_buckets)), "bucket"),
-                    [],
-                    link_clean=False,
-                )
-            dirty = sorted(
-                int(x["b"])
-                for x in refreshed.select(bucket_of(F.col("host")).alias("b"))
-                .distinct()
-                .collect()
-            )
-            old_dirty = robots_cache_raw.filter(
-                F.col("bucket").isin(dirty) if dirty else F.lit(False)
-            ).drop("bucket")
-            new_dirty = (
-                old_dirty.join(
-                    F.broadcast(refreshed.select("host").distinct()),
-                    "host",
-                    "left_anti",
-                )
-                .unionByName(refreshed)
-                .withColumn("bucket", bucket_of(F.col("host")))
-            )
-            n_write = max(1, min(cfg.num_partitions, len(dirty) or 1))
-            return self.store.write_version_bucketed(
-                "robots_cache", new_dirty.repartition(n_write, "bucket"), dirty
-            )
-
-        def _sessions():
-            # tiny per-host table (only auth-gated hosts ever get rows)
-            return self.store.write_version("auth_sessions", sessions_next)
-
         def _bloom():
             # incremental bloom update with this round's newly-seen URLs:
             # OR-merge + write happen INSIDE the executor task per shard
@@ -1282,21 +1351,22 @@ class CrawlEngine:
             self._bloom = None
             return cur_bv + 1
 
-        with ThreadPoolExecutor(max_workers=8) as pool:
+        try:
             f_log = pool.submit(_timed(_crawl_log))
             f_lin = pool.submit(_timed(_lineage))
             f_uv = pool.submit(_timed(_merge))
             f_hv = pool.submit(_timed(_stats))
             f_fv = pool.submit(_timed(_frontier))
             f_bv = pool.submit(_timed(_bloom))
-            f_rv = pool.submit(_timed(_robots_cache))
-            f_sv = pool.submit(_timed(_sessions))
             f_log.result()
             f_lin.result()
-            uv, hv, fv, bv, rv, sv = (
+            uv, hv, fv, bv, sv = (
                 f_uv.result(), f_hv.result(), f_fv.result(), f_bv.result(),
-                f_rv.result(), f_sv.result(),
+                f_sv.result(),
             )
+            rv, rc_new_chain = f_rv.result()
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)
         self.store.commit(
             r,
             {"url_seen": uv, "host_stats": hv, "frontier": fv, "bloom": bv,
@@ -1305,6 +1375,7 @@ class CrawlEngine:
             delta_chains={
                 "url_seen": (cur_chain + [uv]) if will_delta else [uv],
                 "host_stats": (hs_cur_chain + [hv]) if hs_will_delta else [hv],
+                "robots_cache": rc_new_chain,
             },
         )
         # GC: superseded versions are unreachable once the manifest moved on;
@@ -1323,10 +1394,8 @@ class CrawlEngine:
         _mark('n_next_count')
         for df in (
             candidates,
-            scheduled,
-            deferred,
-            robots_blocked,
-            auth_deferred,
+            gated,
+            ranked,
             fetched,
             extracted_with_depth,
             seen_updates,

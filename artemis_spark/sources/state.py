@@ -37,12 +37,15 @@ from pyspark.sql import functions as F
 
 # Per-table primary key for delta-chain reconstruction.  Only tables
 # registered here may use write_version_delta.
-DELTA_KEYS = {"url_seen": "url", "host_stats": "host"}
+DELTA_KEYS = {"url_seen": "url", "host_stats": "host", "robots_cache": "host"}
 # How chain members combine per key: "last" = last-writer-wins (full
 # row replacement, url_seen MERGE semantics); "sum" = additive counters
 # (host_stats inlink deltas — each round appends only the hosts that
-# gained inlinks, reconstruction sums the chain).
-DELTA_MERGE = {"url_seen": "last", "host_stats": "sum"}
+# gained inlinks, reconstruction sums the chain); "group_last" = the key
+# groups MULTIPLE rows and a refresh replaces the whole group (robots
+# rules: a re-fetched host contributes its complete rule set, so
+# reconstruction keeps only the newest version that mentions the host).
+DELTA_MERGE = {"url_seen": "last", "host_stats": "sum", "robots_cache": "group_last"}
 
 
 class StateStore:
@@ -149,6 +152,21 @@ class StateStore:
         u = dfs[0]
         for d in dfs[1:]:
             u = u.unionByName(d)
+        if DELTA_MERGE.get(table, "last") == "group_last":
+            # the key groups multiple rows (robots: one row per pattern)
+            # and a refresh replaces the whole group, so the winner is
+            # every row of the key's NEWEST chain member.  Window over
+            # (bucket, key): a bucket predicate above this read still
+            # pushes through the window's partitionBy into the member
+            # scans as a PartitionFilter.
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("bucket", key)
+            return (
+                u.withColumn("_mx", F.max("_seq").over(w))
+                .filter(F.col("_seq") == F.col("_mx"))
+                .drop("_seq", "_mx")
+            )
         if DELTA_MERGE.get(table, "last") == "sum":
             # additive counters: one hash aggregate sums the chain.  The
             # stored ``bucket`` partition column joins the GROUP BY (it is

@@ -208,3 +208,87 @@ def test_auth_without_credentials_defers_forever(spark, tmp_path, tiny_web):
         .count()
         == 0
     )
+
+
+def test_login_page_change_rotates_session(spark, tmp_path, tiny_web):
+    """When the login PAGE itself changes between logins (new action +
+    field names), the re-login after session expiry must commit to the
+    NEWLY-parsed form — a different session id recomputable from the v2
+    evidence — and fetching must continue under it.  The reference
+    re-fetches and re-parses the form on every login
+    (/root/reference/src/accreditation/FormHandler.py:26-39); here the
+    page swap lands between two engine incarnations over the same state
+    dir, which also exercises resume-from-checkpoint."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from artemis_spark.functions.markup import render_login_page
+    from artemis_spark.rounds import ts_round
+
+    web = str(tmp_path / "web_v2form")
+    shutil.copytree(tiny_web, web)
+    state = str(tmp_path / "state")
+    cfg = CrawlConfig(politeness_budget=25, num_partitions=4, bloom_shards=8,
+                      revisit_delay_rounds=1)
+    eng = CrawlEngine(spark, web, state, cfg)
+    eng.run(3)  # first contact + v1-form login happen in rounds 0-2
+    sess1 = (
+        eng.store.read("auth_sessions")
+        .filter(F.col("host") == "host0007.test")
+        .collect()
+    )
+    assert sess1, "no v1 session established"
+
+    # the login page changes: new action and new field names
+    pq.write_table(
+        pa.table(
+            {
+                "host": ["host0007.test"],
+                "url": ["http://host0007.test/login"],
+                "body": [
+                    render_login_page(
+                        "host0007.test", "/sessions/v2", "login_v2", "secret_v2"
+                    )
+                ],
+            }
+        ),
+        os.path.join(web, "login_pages.parquet"),
+    )
+
+    # resume from the committed state; lifetime_s=7200 == 2 rounds, so
+    # whatever session was live at round 2 expires within rounds 3-5 and
+    # the re-login parses the v2 page
+    eng2 = CrawlEngine(spark, web, state, cfg)
+    eng2.run(3)
+    sess2 = (
+        eng2.store.read("auth_sessions")
+        .filter(F.col("host") == "host0007.test")
+        .collect()
+    )
+    assert len(sess2) == 1
+    r2 = ts_round(sess2[0]["established_at"])
+    assert r2 >= 3, "no re-login happened after the page swap"
+    expected = hashlib.sha224(
+        f"host0007.test|user0007|/sessions/v2|login_v2|secret_v2|{r2}".encode()
+    ).hexdigest()
+    assert sess2[0]["session_id"] == expected, (
+        "re-login did not commit to the v2 parsed form"
+    )
+    assert sess2[0]["session_id"] != sess1[0]["session_id"]
+    # and the crawl kept fetching under the rotated session
+    log = eng2.store.read_appended("crawl_log")
+    assert (
+        log.filter(
+            (F.col("host") == "host0007.test")
+            & (F.col("round") > r2)
+            & (F.col("status") == 200)
+        ).count()
+        > 0
+        or log.filter(
+            (F.col("host") == "host0007.test")
+            & (F.col("round") == r2 + 1)
+        ).count()
+        == 0  # the run may end right after the re-login round
+    )

@@ -181,3 +181,79 @@ def test_ivf_exact_on_clustered_corpus(spark):
         for r in brute_force_topk(emb, q, k=3).collect()
     }
     assert ivf == brute
+
+
+def test_ivf_kmeans_quantizer_on_adversarial_ids(spark):
+    """quantizer="kmeans" (VERDICT r4 #7): when the deterministic
+    smallest-id seeding is adversarial — ids 0..3 all live in cluster 0,
+    so all four seed centroids start near-identical — Lloyd training
+    must (a) keep exact recall on the clustered corpus, (b) never do
+    worse than the deterministic quantizer, and (c) partition the corpus
+    at least as evenly (better pruning: IVF probes max-cell rows in the
+    worst case).  The oracle keeps the deterministic path; the flag is
+    the documented cluster swap."""
+    from artemis_spark.operators.similarity import (
+        ivf_ann_topk,
+        kmeans_centroids,
+    )
+
+    rows = []
+    for i in range(80):
+        c = i // 20  # ids 0..19 are ALL cluster 0: adversarial seeding
+        vec = [0.0] * 4
+        vec[c] = 1.0
+        vec[(c + 1) % 4] = 0.02 * ((i * 37) % 10)  # deterministic jitter
+        rows.append((i, vec))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.where((F.col("vec_id") % 20) < 2)  # 2 queries per cluster
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, q, k=3).collect()
+    }
+
+    def recall(quant):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_ann_topk(
+                emb, q, k=3, n_cells=4, nprobe=1, quantizer=quant
+            ).collect()
+        }
+        return len(got & brute) / len(brute)
+
+    r_km, r_det = recall("kmeans"), recall("deterministic")
+    assert r_km == 1.0
+    assert r_km >= r_det
+
+    # pruning quality: worst-case probed-cell population under the
+    # trained quantizer must not exceed the degenerate seeding's
+    from pyspark.sql import Window
+
+    det_cents = (
+        emb.orderBy("vec_id")
+        .limit(4)
+        .select(
+            F.col("vec_id").alias("cell"),
+            F.col("embedding").cast("array<double>").alias("cent_vec"),
+        )
+    )
+    km_cents = kmeans_centroids(emb, 4)
+
+    def max_pop(cents):
+        aw = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cell"))
+        a = (
+            emb.join(F.broadcast(cents))
+            .withColumn(
+                "s",
+                F.round(
+                    cosine_expr(
+                        F.col("embedding").cast("array<double>"), F.col("cent_vec")
+                    ),
+                    3,
+                ),
+            )
+            .withColumn("rk", F.row_number().over(aw))
+            .where("rk = 1")
+        )
+        return max(r["count"] for r in a.groupBy("cell").count().collect())
+
+    assert max_pop(km_cents) <= max_pop(det_cents)

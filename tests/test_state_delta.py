@@ -6,8 +6,9 @@ The scale claims under test:
     (the bucketed-rewrite layout degraded to O(|state|) on broad waves);
   * the chain is compacted so read amplification stays bounded;
   * the layout knob changes no observable crawl output;
-  * robots_cache / host_stats rewrite only buckets containing changed
-    hosts — clean buckets are hard-linked byte-identically.
+  * robots_cache / host_stats append only the hosts a round actually
+    changed (re-fetched rule sets / inlink increments) — per-round
+    write cost tracks the wave, never the host history.
 """
 
 import os
@@ -147,24 +148,30 @@ def test_delta_chain_compaction(spark, tmp_path, tiny_web):
 
 
 def test_robots_and_host_stats_link_clean_buckets(spark, tmp_path, tiny_web):
-    """robots_cache carries untouched host-buckets across rounds as hard
-    links; host_stats (delta layout since r04) appends only this round's
-    inlink increments — per-round written rows track the wave, never the
+    """robots_cache (delta layout since r05) and host_stats (since r04)
+    append only this round's changes — re-fetched rule sets / inlink
+    increments — so per-round written rows track the wave, never the
     host history."""
     state = str(tmp_path / "state")
-    # small budget: waves touch few hosts per round, so some host-buckets
-    # of robots_cache see no change and must come over as links
+    # small budget: waves touch few hosts per round, so each round's
+    # refreshed rule set is a small fraction of the full robots table
     eng = CrawlEngine(spark, tiny_web, state, _cfg(politeness_budget=2))
     eng.run(4)
-    root = os.path.join(state, "robots_cache")
-    versions = sorted(int(d[1:]) for d in os.listdir(root) if d.startswith("v"))
-    assert len(versions) >= 2, f"robots_cache: {versions}"
-    prev = _bucket_inodes(os.path.join(root, f"v{versions[-2]}"))
-    last = _bucket_inodes(os.path.join(root, f"v{versions[-1]}"))
-    linked = [k for k in last if k in prev and last[k] == prev[k]]
-    assert linked, (
-        f"robots_cache: no hard-linked clean buckets between "
-        f"v{versions[-2]} and v{versions[-1]}"
+    rc_chain = eng.store.delta_chain("robots_cache")
+    assert len(rc_chain) >= 2, f"robots_cache never went delta: {rc_chain}"
+    rc_full = eng.store.read("robots_cache").count()
+    rc_deltas = [_version_rows(state, "robots_cache", v) for v in rc_chain[1:]]
+    assert all(d <= rc_full for d in rc_deltas)
+    assert sum(rc_deltas) < len(rc_deltas) * rc_full, (
+        "every robots_cache delta rewrote the full rule set — appends "
+        "are not tracking the refreshed hosts"
+    )
+    # reconstruction keeps each host's NEWEST rule set exactly once: no
+    # duplicate (host, pattern) pairs survive the chain merge
+    rc = eng.store.read("robots_cache")
+    assert (
+        rc.groupBy("host", "pattern").count().filter(F.col("count") > 1).count()
+        == 0
     )
     # host_stats: a real delta chain, and every delta version physically
     # smaller than the full reconstructed host set would be O(|hosts|)

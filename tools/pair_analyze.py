@@ -65,10 +65,20 @@ def main(path: str) -> None:
         for c in cs:
             for r in c["per_round"]:
                 acc[r["round"]].append((r["scheduled"], r["round_wall_ms"] / 1000))
-        return {
-            i: (v[0][0], statistics.median(w for _, w in v))
-            for i, v in acc.items()
-        }
+        out: dict[int, tuple[int, float]] = {}
+        for i, v in acc.items():
+            scheds = {s for s, _ in v}
+            if len(scheds) != 1:
+                # reps at the same level must crawl the identical
+                # deterministic wave; pooling walls across different
+                # waves would corrupt the matched-wave fit
+                print(
+                    f"round {i}: scheduled disagrees across same-level reps"
+                    f" {sorted(scheds)} — round dropped"
+                )
+                continue
+            out[i] = (v[0][0], statistics.median(w for _, w in v))
+        return out
 
     wl, wh = med_walls(by_level[lo]), med_walls(by_level[hi])
     print(f"round  sched      wall[{lo}]  wall[{hi}]  eff  serial_s  par_core_s")

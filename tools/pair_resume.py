@@ -62,6 +62,13 @@ def main() -> None:
             print(json.dumps({k: rec[k] for k in rec if k != "per_round"}), flush=True)
 
         levels = sorted({r["cpus"] for r in done})
+        if len(levels) != 2:
+            # a summary over one level is degenerate (eff=1.0) and over
+            # 3+ levels silently drops the middle — refuse both
+            msg = {"error": "summary needs exactly two levels", "levels": levels}
+            out.write(json.dumps(msg) + "\n")
+            print(json.dumps(msg), flush=True)
+            return
         lo, hi = levels[0], levels[-1]
         lo_meds = [r["median"] for r in done if r["cpus"] == lo]
         hi_meds = [r["median"] for r in done if r["cpus"] == hi]
@@ -75,6 +82,14 @@ def main() -> None:
             "hi_probes": [r["probe_n8"] for r in done if r["cpus"] == hi],
             "efficiency_of_medians": round(eff, 3),
         }
+        # the ABBA order's drift-cancellation claim requires a BALANCED
+        # sequence; an unbalanced resume still gets its numbers reported
+        # but explicitly marked partial
+        if len(lo_meds) != len(hi_meds):
+            summary["partial"] = (
+                f"unbalanced: {len(lo_meds)} runs at {lo} vs "
+                f"{len(hi_meds)} at {hi} — drift does not cancel"
+            )
         out.write(json.dumps(summary) + "\n")
         print(json.dumps(summary), flush=True)
 
