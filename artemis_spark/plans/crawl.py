@@ -408,6 +408,7 @@ class CrawlEngine:
 
         frontier_raw = self.store.read("frontier", CANDIDATES_SCHEMA)
         pre_shuffle = _gate(frontier_raw.unionByName(recrawl_due))
+        _mark('state_reads')
 
         # THE routing shuffle (reference P2, /root/reference/src/Slave.py:145-172):
         # one hash exchange by host up front; every downstream join/window/
@@ -1063,9 +1064,14 @@ class CrawlEngine:
                 # already current — no write job at all
                 return rc_base_v, rc_cur_chain
             if rc_will_delta:
+                # unpartitioned + coalesce(1): a delta holds only this
+                # round's re-fetched rule sets (tiny), so one file beats
+                # ~|buckets| one-row dir files; the bucket-pruned
+                # PartitionFilter path stays on the BASE member, which is
+                # the only O(|hosts|)-sized thing the wave slice reads
                 delta = refreshed.withColumn("bucket", bucket_of(F.col("host")))
                 v = self.store.write_version_delta(
-                    "robots_cache", delta.repartition(1, "bucket")
+                    "robots_cache", delta.coalesce(1), partitioned=False
                 )
                 return v, rc_cur_chain + [v]
             if rc_delta_on or not rc_has_bucket:
@@ -1254,15 +1260,18 @@ class CrawlEngine:
             self.store.append_round("lineage_metrics", lineage, r)
 
         def _merge():
-            # The repartition-by-bucket keeps the layout at ~1 file per
-            # bucket: without it every (writer partition x bucket) pair
-            # emits its own tiny file and the next round's state scan
-            # degenerates into thousands of one-file tasks.
             if will_delta:
-                # delta append: write ONLY this round's updates
-                n_write = max(1, min(cfg.num_partitions, len(dirty_buckets)))
+                # delta append: write ONLY this round's updates,
+                # UNPARTITIONED (bucket stays a plain column) and in the
+                # pin's existing wave partitioning.  url_seen reads are
+                # always full reconstructions (validate join + recrawl
+                # scan touch every bucket), so bucket=N dirs buy no
+                # pruning here and a 256-bucket wave would shatter each
+                # delta into ~256 tiny files (the r5 state_reads
+                # profile's dominant term); skipping the repartition
+                # also drops a per-round O(|wave|) shuffle.
                 return self.store.write_version_delta(
-                    "url_seen", upd.repartition(n_write, "bucket")
+                    "url_seen", upd, partitioned=False
                 )
             # bucketed rewrite: dirty buckets written, clean buckets
             # hard-linked — except on compaction/migration rounds, where
@@ -1294,10 +1303,18 @@ class CrawlEngine:
 
         def _stats():
             if hs_will_delta:
+                # unpartitioned delta (bucket stays a column): a delta is
+                # O(|wave hosts|) rows, so shattering it into bucket=N
+                # one-row dir files costs more to re-open than it saves;
+                # wave-sliced reads keep PartitionFilter pruning on the
+                # bucketed BASE (the O(|hosts|) member) and filter the
+                # small deltas by column stats.  coalesce, not
+                # repartition: no shuffle, just fewer output files.
                 delta = inlink_delta.withColumn("bucket", bucket_of(F.col("host")))
                 return self.store.write_version_delta(
                     "host_stats",
-                    delta.repartition(max(1, cfg.num_partitions // 4), "bucket"),
+                    delta.coalesce(max(1, cfg.num_partitions // 4)),
+                    partitioned=False,
                 )
             # compaction or legacy migration: one full bucketed rewrite of
             # the cumulative view — the only round that touches all hosts
@@ -1367,6 +1384,7 @@ class CrawlEngine:
             rv, rc_new_chain = f_rv.result()
         finally:
             pool.shutdown(wait=False, cancel_futures=True)
+        _mark('persist_fanout')
         self.store.commit(
             r,
             {"url_seen": uv, "host_stats": hv, "frontier": fv, "bloom": bv,
@@ -1382,7 +1400,7 @@ class CrawlEngine:
         # keep one prior snapshot for post-hoc inspection (Iceberg's
         # expire_snapshots analogue)
         self.store.vacuum(keep_last=2)
-        _mark('persist_fanout')
+        _mark('commit_vacuum')
 
         totals = lineage.groupBy().agg(
             F.sum("urls_scheduled").alias("s"),
@@ -1416,6 +1434,7 @@ class CrawlEngine:
         # can be destroyed — otherwise each round leaks one bitset copy
         while self._round_bcs:
             self._round_bcs.pop().destroy()
+        _mark('unpersist')
         if _timing:
             print(f"ROUND_TIMING r={r} " + json.dumps(_phases))
         # return contract: under cfg.light_stats the info-only counters

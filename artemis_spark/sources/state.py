@@ -207,21 +207,36 @@ class StateStore:
         df.write.mode("overwrite").parquet(path)
         return v
 
-    def write_version_delta(self, table: str, upd_df: DataFrame) -> int:
+    def write_version_delta(
+        self, table: str, upd_df: DataFrame, partitioned: bool = True
+    ) -> int:
         """Append-only delta version for a delta-chain table: writes ONLY
-        the round's update rows (bucket-partitioned, same modulus as the
-        base) — per-round write cost is O(|updates|) regardless of how
-        many buckets they touch.  The caller records the new version in
-        the manifest's ``delta_chains`` via commit(); read() then
-        reconstructs last-writer-wins.  This is the parquet stand-in for
-        Iceberg's merge-on-read delete/data files."""
+        the round's update rows — per-round write cost is O(|updates|)
+        regardless of how many buckets they touch.  The caller records
+        the new version in the manifest's ``delta_chains`` via commit();
+        read() then reconstructs last-writer-wins.  This is the parquet
+        stand-in for Iceberg's merge-on-read delete/data files.
+
+        ``partitioned`` controls the physical layout: bucket=N partition
+        dirs serve tables whose READS prune on the stored bucket column
+        (host_stats / robots_cache wave slices — PartitionFilters skip
+        whole directories); tables that are always reconstructed in full
+        (url_seen: the validate join and recrawl scan read every bucket)
+        must pass False and keep ``bucket`` as a plain column — a
+        256-bucket wave would otherwise shatter every delta into ~256
+        tiny files and the per-round chain scan degenerates into file-
+        open overhead (measured: 12-33 s/round at local[1] by chain
+        length 6, the dominant term of the r5 state_reads profile)."""
         if table not in DELTA_KEYS:
             raise ValueError(f"no delta key registered for table {table!r}")
         v = self.current_version(table) + 1
         path = self._vdir(table, v)
         if os.path.exists(path):  # leftover from a crashed round
             shutil.rmtree(path)
-        upd_df.write.mode("overwrite").partitionBy("bucket").parquet(path)
+        w = upd_df.write.mode("overwrite")
+        if partitioned:
+            w = w.partitionBy("bucket")
+        w.parquet(path)
         return v
 
     def write_version_bucketed(

@@ -32,6 +32,92 @@ def plan_of(df) -> str:
     return tree + "\n-- scan/exchange details --\n" + details
 
 
+PIN_NOTE = """\
+Symptom (profiled at the bench tier, 32 cores): executor utilization
+12-15/32 with 17-38s per round of ZERO-job driver dead time.  Cause:
+the round tree (delta-chain reconstruction ∪ recrawl scan → dedupe →
+robots/auth → politeness → fetch join → markup extraction → MERGE)
+feeds ~46 driver actions (writes, collects, probes); with cache(),
+every action re-analyzes, re-optimizes and AQE-replans the FULL tree —
+serialized, single driver thread — because cache() keeps complete
+lineage.  The work grows with pipeline depth, so every feature added
+since r01 (auth, forms, delta-log, bloom shards) made every OTHER
+action slower: the r01→r03 driver-tier regression.
+
+Fix: `CrawlConfig.plan_pin` replaces the hot cache() calls with
+`localCheckpoint(eager=False)`, which truncates lineage at each
+materialized intermediate — downstream plans see a leaf RDD scan.
+Losing recompute lineage is safe by design: the committed state store
+is the crash-recovery mechanism (rounds are resumable), not Spark
+recompute.  On a real cluster use `reliableCheckpoint` off the hot
+path or simply accept executor-loss recompute of one round's pins.
+
+r5 measurement note: `localCheckpoint(eager=False)` is NOT lazy for
+AQE plans — building the checkpoint RDD materializes every non-result
+query stage at pin-CREATION time (verified: a groupBy pin's create
+cost 12.9s vs first count 1.9s).  So each `_pin()` in the round runs
+its upstream stages right where it is created; the round is a sequence
+of pin materializations, and anything derived from an existing pin is
+a cheap leaf scan.  This is why every branch split (robots_blocked /
+auth_deferred / scheduled / deferred) must filter a SHARED pin: a
+branch with its own pin re-executes the whole unpinned chain at its
+creation point (the r1-r4 engine paid that 4x per round).
+
+Second serialized driver cost: Janino codegen compilation.  A round
+generates ~340 classes; the codegen cache is a 100-entry LRU
+(static conf `spark.sql.codegen.cache.maxEntries`), so EVERY round
+recompiles EVERY class (~2-3s serial driver time).  With the cache
+sized to hold a full round (4096), steady-state rounds compile only
+the ~90 classes whose generated source embeds round-varying primitive
+literals (round number, epoch timestamps, dirty-bucket isin lists —
+primitives inline into the source text; strings/arrays go to the
+references array and do not)."""
+
+TORRENT_NOTE = """\
+The magnet conversion is a `when()`-guarded Arrow pandas UDF column on
+the SAME `fetched` relation the round already materializes once
+(`plans/crawl.py`): non-torrent rows ship a NULL bytes column across
+the Arrow boundary (a null check, no bencode work), and the pinned
+`fetched` leaf then feeds the queue aggregate, the crawl_log union and
+the url_seen MERGE without ever re-executing the fetch join.  The
+alternative — filtering the wave to `%.torrent` and re-joining the web
+cache for the subset — would schedule a second co-partitioned join per
+round for what is typically a handful of rows.
+
+The queue itself is one tiny hash aggregate:
+`groupBy(info_hash).agg(min(struct(depth, host, auth, magnet)))` —
+wave-bounded (only rows whose parse succeeded), no window, no join.
+At 10^10-URL scale the .torrent fraction of a wave is small and the
+aggregate's input is already filtered to it; the only per-row cost laid
+on the full wave is the NULL column through the existing Python stage
+that `decode_validate_image` already established (one Arrow round-trip
+per round, shared shape)."""
+
+GATING_NOTE = """\
+The round materializes exactly two wave-sized pins between routing and
+fetch: `gated` (bloom probe → validate join → robots flags → auth
+flags, one annotated relation) and `ranked` (politeness window over
+the fetchable slice of `gated`).  robots_blocked, auth_deferred,
+fetchable, scheduled and deferred are filter SCANS of those pins —
+they appear in downstream plans as Filter-over-leaf, nothing else.
+
+Before r5 each branch was its own localCheckpoint pin; because pin
+creation executes eagerly (see Round-plan pinning), each one re-ran
+the whole O(wave) gate chain — bloom Arrow UDF, validate join, robots
+join, window — up to 4x per round.  Measured at local[1], tier=bench,
+1024-budget waves: median round wall 122-188s → 84-107s and the
+round's 'seen_updates materialize' phase (which used to pay 3 of the
+4 re-runs) 9-53s → 3.7-22s.
+
+Write-tail shape after r5: robots_cache and auth_sessions persists are
+submitted as soon as their inputs (refreshed / gated) are materialized
+and overlap the extraction materialize; a round that refreshed no
+robots rules or deferred no auth URL skips those writes entirely
+(committed version re-recorded); url_seen/host_stats/robots deltas
+append UNPARTITIONED small files (bucket kept as a column; partition
+dirs only on compacted bases, where PartitionFilter pruning pays)."""
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -143,15 +229,18 @@ def main() -> None:
     # 7. robots_cache wave-sliced read (r03 verdict #2/#3)
     rc = eng.store.read("robots_cache")
     sections.append((
-        "robots_cache wave-sliced read — MUST show PartitionFilters on "
-        "the STORED bucket column: each round consults rules only for "
+        "robots_cache wave-sliced read — the bucket predicate MUST reach "
+        "the bucketed BASE member as PartitionFilters (the only "
+        "O(|hosts|)-sized member): each round consults rules only for "
         "its wave's hosts (cache_slice reads the wave's buckets, then "
         "semi-joins the wave host set), and the robots SOURCE is joined "
         "with a broadcast semi-join on the tiny needy-host set — the "
         "full source is NEVER broadcast (at 10^8 hosts that broadcast "
-        "cannot build).  Dirty-bucket writes re-read current rows under "
-        "the same PartitionFilters, so per-round robots IO tracks the "
-        "wave, not the host history.",
+        "cannot build).  Writes are delta-log appends of ONLY the rules "
+        "re-fetched this round (r5; group_last reconstruction keeps a "
+        "host's newest rule set, compaction bounds the chain), so "
+        "per-round robots IO tracks the wave, not the host history; the "
+        "small unpartitioned delta members are filtered by column stats.",
         plan_of(rc.filter(F.col("bucket").isin(3, 7))),
     ))
 
@@ -161,11 +250,14 @@ def main() -> None:
         "host_stats delta-chain reconstruction under a wave bucket "
         "predicate — the additive (sum) merge groups by (host, bucket), "
         "so the bucket predicate pushes through the aggregate AND the "
-        "chain union into EVERY chain member's scan as PartitionFilters. "
-        "A normal round APPENDS only that round's inlink deltas "
-        "(O(|wave|) rows, write_version_delta); only a compaction round "
-        "rewrites the cumulative base — per-round host_stats read AND "
-        "write cost track the wave.",
+        "chain union into every member's scan: PartitionFilters on the "
+        "bucketed BASE (the O(|hosts|) member), column-stats filters on "
+        "the small unpartitioned deltas (r5: shattering an O(|wave|) "
+        "delta into bucket=N one-row dir files cost more file-open "
+        "overhead than the pruning saved).  A normal round APPENDS only "
+        "that round's inlink deltas (write_version_delta, no shuffle); "
+        "only a compaction round rewrites the cumulative base — "
+        "per-round host_stats read AND write cost track the wave.",
         plan_of(hs.filter(F.col("bucket").isin(3, 7))),
     ))
 
@@ -180,6 +272,26 @@ def main() -> None:
                             "ReadSchema pruned to the 4 used columns."),
     ]:
         sections.append((f"`{name}` — {why}", plan_of(E.queries()[name](spark, sf))))
+
+    # static (non-plan) design-note sections — carried here so a
+    # regeneration never drops them (the BENCH.md overwrite lesson, r03)
+    sections.append((
+        "Round-plan pinning — the driver, not the executors, is the "
+        "scale axis that breaks first on a long-lived crawl; each "
+        "round's ~46 actions MUST see O(1)-size plans, not the round's "
+        "full operator tree.",
+        PIN_NOTE,
+    ))
+    sections.append((
+        "Torrent magnet queue (S6) — the .torrent parse must ride the "
+        "fetch pass, not re-run it",
+        TORRENT_NOTE,
+    ))
+    sections.append((
+        "Single-pass wave gating (r5) — the gate chain MUST materialize "
+        "once per round; every branch is a filter scan of one pin.",
+        GATING_NOTE,
+    ))
 
     out = ["# PLANS — physical-plan audit of the critical paths",
            "",
