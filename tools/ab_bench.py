@@ -16,17 +16,19 @@ Writes: /tmp/ab_results.jsonl (one line per probe/run) + summary line.
 
 from __future__ import annotations
 
-import json
 import os
 import subprocess
 import sys
-import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
-REPO = os.path.dirname(HERE)
-sys.path.insert(0, REPO)
+sys.path.insert(0, HERE)
 
-from scaling_bench import hw_stream_throughput  # noqa: E402
+from bench_runner import (  # noqa: E402
+    make_emit,
+    median_of,
+    probe,
+    run_crawl_subprocess,
+)
 
 ENGINES = {
     "r01": {"cwd": "/tmp/ab_r01_engine", "tmpdir": "/tmp/ab_r01_tmp"},
@@ -46,19 +48,7 @@ COMMON_ENV = {
 }
 
 OUT = "/tmp/ab_results.jsonl"
-
-
-def emit(rec: dict) -> None:
-    rec["t"] = round(time.monotonic(), 1)
-    with open(OUT, "a") as f:
-        f.write(json.dumps(rec) + "\n")
-    print(json.dumps(rec), flush=True)
-
-
-def probe() -> float:
-    v = hw_stream_throughput([8], reps=2)[8]
-    emit({"kind": "probe", "n8_tasks_per_sec": v})
-    return v
+emit = make_emit(OUT)
 
 
 def prewarm(name: str) -> None:
@@ -81,27 +71,9 @@ def prewarm(name: str) -> None:
 def run_engine(name: str, rep: int) -> dict:
     e = ENGINES[name]
     env = dict(os.environ, TMPDIR=e["tmpdir"], **COMMON_ENV)
-    t0 = time.monotonic()
-    out = subprocess.run(
-        [sys.executable, "bench.py", "--crawl-only"],
-        cwd=e["cwd"],
-        env=env,
-        capture_output=True,
-        text=True,
+    return run_crawl_subprocess(
+        e["cwd"], env, emit, {"engine": name, "rep": rep}
     )
-    wall = time.monotonic() - t0
-    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
-    if out.returncode != 0 or not lines:
-        emit({"kind": "run_failed", "engine": name, "rep": rep,
-              "rc": out.returncode, "stderr_tail": out.stderr[-2000:]})
-        return {}
-    crawl = json.loads(lines[-1])["crawl"]
-    rec = {"kind": "run", "engine": name, "rep": rep, "wall_incl_setup": round(wall, 1)}
-    for k in ("urls_per_sec", "urls_per_sec_steady", "urls_per_sec_median_round",
-              "urls", "rounds", "wall_sec", "per_round"):
-        rec[k] = crawl.get(k)
-    emit(rec)
-    return rec
 
 
 def main() -> None:
@@ -115,26 +87,22 @@ def main() -> None:
     order = ["r01", "r04"] if quick else ["r01", "r04", "r04", "r01"]
     reps: dict[str, int] = {}
     results: dict[str, list] = {"r01": [], "r04": []}
-    probe()
+    probe(emit)
     for name in order:
         reps[name] = reps.get(name, 0) + 1
         r = run_engine(name, reps[name])
         if r:
             results[name].append(r)
-        probe()
-
-    def meds(rs, key):
-        vals = sorted(x[key] for x in rs if x.get(key))
-        return vals[len(vals) // 2] if vals else None
+        probe(emit)
 
     summary = {
         "kind": "summary",
-        "r01_median_round": meds(results["r01"], "urls_per_sec_median_round"),
-        "r04_median_round": meds(results["r04"], "urls_per_sec_median_round"),
-        "r01_steady": meds(results["r01"], "urls_per_sec_steady"),
-        "r04_steady": meds(results["r04"], "urls_per_sec_steady"),
-        "r01_overall": meds(results["r01"], "urls_per_sec"),
-        "r04_overall": meds(results["r04"], "urls_per_sec"),
+        "r01_median_round": median_of(results["r01"], "urls_per_sec_median_round"),
+        "r04_median_round": median_of(results["r04"], "urls_per_sec_median_round"),
+        "r01_steady": median_of(results["r01"], "urls_per_sec_steady"),
+        "r04_steady": median_of(results["r04"], "urls_per_sec_steady"),
+        "r01_overall": median_of(results["r01"], "urls_per_sec"),
+        "r04_overall": median_of(results["r04"], "urls_per_sec"),
     }
     if summary["r01_median_round"] and summary["r04_median_round"]:
         summary["r04_over_r01_median"] = round(

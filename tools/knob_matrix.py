@@ -19,17 +19,18 @@ Writes /tmp/knob_matrix.jsonl
 """
 from __future__ import annotations
 
-import json
 import os
-import subprocess
 import sys
-import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
-REPO = os.path.dirname(HERE)
-sys.path.insert(0, REPO)
+sys.path.insert(0, HERE)
 
-from scaling_bench import hw_stream_throughput  # noqa: E402
+from bench_runner import (  # noqa: E402
+    make_emit,
+    median_of,
+    probe,
+    run_crawl_subprocess,
+)
 
 COMMON_ENV = {
     "ARTEMIS_BENCH_TIER": "bench",
@@ -65,46 +66,17 @@ VARIANTS = {
 }
 
 OUT = "/tmp/knob_matrix.jsonl"
-
-
-def emit(rec: dict) -> None:
-    rec["t"] = round(time.monotonic(), 1)
-    with open(OUT, "a") as f:
-        f.write(json.dumps(rec) + "\n")
-    print(json.dumps(rec), flush=True)
-
-
-def probe() -> float:
-    v = hw_stream_throughput([8], reps=2)[8]
-    emit({"kind": "probe", "n8_tasks_per_sec": v})
-    return v
+emit = make_emit(OUT)
 
 
 def run_variant(name: str, rep: int) -> dict:
     v = VARIANTS[name]
     env = dict(os.environ, TMPDIR=v["tmpdir"], **COMMON_ENV, **v["env"])
-    t0 = time.monotonic()
-    out = subprocess.run(
-        [sys.executable, "bench.py", "--crawl-only"],
-        cwd=v["cwd"],
-        env=env,
-        capture_output=True,
-        text=True,
+    return run_crawl_subprocess(
+        v["cwd"], env, emit, {"variant": name, "rep": rep},
+        keys=("urls_per_sec", "urls_per_sec_steady",
+              "urls_per_sec_median_round", "urls", "wall_sec", "per_round"),
     )
-    wall = time.monotonic() - t0
-    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
-    if out.returncode != 0 or not lines:
-        emit({"kind": "run_failed", "variant": name, "rep": rep,
-              "rc": out.returncode, "stderr_tail": out.stderr[-2000:]})
-        return {}
-    crawl = json.loads(lines[-1])["crawl"]
-    rec = {"kind": "run", "variant": name, "rep": rep,
-           "wall_incl_setup": round(wall, 1)}
-    for k in ("urls_per_sec", "urls_per_sec_steady", "urls_per_sec_median_round",
-              "urls", "wall_sec", "per_round"):
-        rec[k] = crawl.get(k)
-    emit(rec)
-    return rec
 
 
 def main() -> None:
@@ -118,23 +90,21 @@ def main() -> None:
 
     results: dict[str, list] = {n: [] for n in names}
     counts: dict[str, int] = {}
-    probe()
+    probe(emit)
     for name in order:
         counts[name] = counts.get(name, 0) + 1
         r = run_variant(name, counts[name])
         if r:
             results[name].append(r)
-        probe()
-
-    def med(rs, key):
-        vals = sorted(x[key] for x in rs if x.get(key))
-        return vals[len(vals) // 2] if vals else None
+        probe(emit)
 
     summary = {"kind": "summary"}
     for n in names:
-        summary[f"{n}_median_round"] = med(results[n], "urls_per_sec_median_round")
-        summary[f"{n}_steady"] = med(results[n], "urls_per_sec_steady")
-        summary[f"{n}_overall"] = med(results[n], "urls_per_sec")
+        summary[f"{n}_median_round"] = median_of(
+            results[n], "urls_per_sec_median_round"
+        )
+        summary[f"{n}_steady"] = median_of(results[n], "urls_per_sec_steady")
+        summary[f"{n}_overall"] = median_of(results[n], "urls_per_sec")
     if summary.get("r01_median_round"):
         for n in names[1:]:
             if summary.get(f"{n}_median_round"):

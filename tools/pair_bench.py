@@ -20,13 +20,12 @@ from __future__ import annotations
 
 import json
 import os
-import statistics
 import sys
 
 HERE = os.path.dirname(os.path.abspath(__file__))
-sys.path.insert(0, os.path.dirname(HERE))
+sys.path.insert(0, HERE)
 
-from scaling_bench import run_at  # noqa: E402
+from bench_runner import pair_run_record, pair_summary  # noqa: E402
 
 
 def main() -> None:
@@ -46,34 +45,11 @@ def main() -> None:
 
     runs: list[dict] = []
     for idx, n in enumerate(order):
-        r = run_at(n, tier, rounds, budget, reps=1)
-        rec = {
-            "seq": idx,
-            "cpus": n,
-            "median": r.get("urls_per_sec_median_round") or r["urls_per_sec"],
-            "steady": r.get("urls_per_sec_steady"),
-            "probe_n8": r.get("hw_probe_tasks_per_sec_n8"),
-            "wall_sec": r.get("wall_sec"),
-            # full per-round walls so tools/pair_analyze.py can fit the
-            # serial + parallel/N decomposition on matched waves
-            "per_round": r.get("per_round"),
-        }
+        rec = pair_run_record(idx, n, tier, rounds, budget)
         runs.append(rec)
         print(json.dumps(rec), flush=True)
 
-    lo_meds = [r["median"] for r in runs if r["cpus"] == lo]
-    hi_meds = [r["median"] for r in runs if r["cpus"] == hi]
-    eff = (statistics.median(hi_meds) / statistics.median(lo_meds)) / (hi / lo)
-    out = {
-        "levels": [lo, hi],
-        "order": order,
-        "lo_medians": lo_meds,
-        "hi_medians": hi_meds,
-        "lo_probes": [r["probe_n8"] for r in runs if r["cpus"] == lo],
-        "hi_probes": [r["probe_n8"] for r in runs if r["cpus"] == hi],
-        "efficiency_of_medians": round(eff, 3),
-    }
-    print(json.dumps(out), flush=True)
+    print(json.dumps(pair_summary(runs)), flush=True)
 
 
 if __name__ == "__main__":
