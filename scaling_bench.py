@@ -81,6 +81,19 @@ def run_at(cpus: int, tier: str, rounds: int, budget: int, reps: int) -> dict:
     if tmpl:
         env["ARTEMIS_MASTER"] = tmpl.format(n=cpus)
     env.setdefault("ARTEMIS_BENCH_SEEDS_PER_HOST", "256")
+    if tmpl and "local-cluster" in tmpl and os.path.isdir("/dev/shm"):
+        # standalone-mode executors take their scratch dirs from
+        # SPARK_LOCAL_DIRS (spark.local.dir is overridden by the cluster
+        # manager) — keep shuffle/spill on tmpfs for them too, same as
+        # the thread-mode runs
+        os.makedirs("/dev/shm/spark-local", exist_ok=True)
+        env.setdefault("SPARK_LOCAL_DIRS", "/dev/shm/spark-local")
+    if tmpl and "local-cluster" in tmpl:
+        # standalone executors spawn their own Python workers from
+        # PYSPARK_PYTHON (local mode forks from the driver, so this is
+        # moot there); pin it to the driver's interpreter so versions
+        # match and pyspark/pyarrow resolve
+        env.setdefault("PYSPARK_PYTHON", sys.executable)
     env.setdefault("ARTEMIS_BENCH_REVISIT", "1")
     env.setdefault("ARTEMIS_DRIVER_MEM", "48g")
     if os.path.isdir("/dev/shm"):
